@@ -1,0 +1,124 @@
+"""Iceberg-shaped table catalog with snapshot isolation — local backend.
+
+The crawl engine needs four table properties the reference's JSON-file
+dataflow lacks (and races on, see SURVEY.md §3.1): immutable snapshots,
+atomic replace, partition pruning, and per-snapshot lineage metadata for
+deterministic resume.  This module provides them over partitioned parquet +
+JSON manifests.  On a real cluster the same call surface binds to
+``format("iceberg")`` (``spark-submit --packages
+org.apache.iceberg:iceberg-spark-runtime-...``); no Iceberg jar ships in
+this sandbox, so the local backend is authoritative for tests.
+
+Layout::
+
+    <root>/<table>/v{N}/part-*.parquet     immutable snapshot data
+    <root>/<table>/_snapshots/v{N}.json    manifest: rows, lineage, parent
+
+Writers produce v{N+1} then atomically publish the manifest; readers resolve
+the latest published manifest — a killed writer leaves no torn state, which
+is what makes wave-checkpoint resume deterministic (north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    version: int
+    rows: int
+    meta: dict
+    path: str
+
+
+class Catalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _snapdir(self, name: str) -> str:
+        return os.path.join(self._tdir(name), "_snapshots")
+
+    # -- snapshot resolution ----------------------------------------------
+    def snapshots(self, name: str) -> list[Snapshot]:
+        sdir = self._snapdir(name)
+        if not os.path.isdir(sdir):
+            return []
+        out = []
+        for f in sorted(os.listdir(sdir)):
+            if not f.endswith(".json"):
+                continue
+            with open(os.path.join(sdir, f)) as fp:
+                m = json.load(fp)
+            out.append(
+                Snapshot(
+                    version=m["version"],
+                    rows=m["rows"],
+                    meta=m.get("meta", {}),
+                    path=os.path.join(self._tdir(name), f"v{m['version']}"),
+                )
+            )
+        return sorted(out, key=lambda s: s.version)
+
+    def latest(self, name: str) -> Snapshot | None:
+        snaps = self.snapshots(name)
+        return snaps[-1] if snaps else None
+
+    def exists(self, name: str) -> bool:
+        return self.latest(name) is not None
+
+    # -- IO ----------------------------------------------------------------
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> Snapshot:
+        """Write a new immutable snapshot of ``name`` and publish it."""
+        prev = self.latest(name)
+        version = 0 if prev is None else prev.version + 1
+        data_dir = os.path.join(self._tdir(name), f"v{version}")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        rows = df.sparkSession.read.parquet(data_dir).count()
+        manifest = {
+            "version": version,
+            "rows": rows,
+            "partition_by": partition_by or [],
+            "parent": None if prev is None else prev.version,
+            "meta": meta or {},
+        }
+        os.makedirs(self._snapdir(name), exist_ok=True)
+        tmp = os.path.join(self._snapdir(name), f".v{version}.json.tmp")
+        final = os.path.join(self._snapdir(name), f"v{version}.json")
+        with open(tmp, "w") as fp:
+            json.dump(manifest, fp, indent=2, sort_keys=True)
+        os.replace(tmp, final)  # atomic publish
+        return Snapshot(version=version, rows=rows, meta=meta or {}, path=data_dir)
+
+    def read(
+        self, spark: SparkSession, name: str, version: int | None = None
+    ) -> DataFrame:
+        snaps = self.snapshots(name)
+        if not snaps:
+            raise FileNotFoundError(f"table {name!r} has no published snapshot")
+        snap = snaps[-1] if version is None else next(
+            s for s in snaps if s.version == version
+        )
+        return spark.read.parquet(snap.path)
+
+    def drop(self, name: str) -> None:
+        shutil.rmtree(self._tdir(name), ignore_errors=True)
