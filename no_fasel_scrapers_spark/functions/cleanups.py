@@ -19,12 +19,13 @@ def remove_arabic_chars(s: Column) -> Column:
     """ASCII-ignore strip — reference ``Common.py:163-165``.
 
     ``s.encode("ascii", "ignore").decode().strip()``: drop every non-ASCII
-    codepoint, then strip ASCII whitespace from both ends.  Java ``\\s`` is
-    exactly the ASCII whitespace set Python ``str.strip()`` strips once the
-    string is ASCII-only.
+    codepoint, then strip Python-whitespace from both ends.  Python
+    ``str.strip()`` on ASCII text strips ``\\s`` plus the C0 separators
+    ``\\x1c-\\x1f`` (Java ``\\s`` alone misses those).
     """
     ascii_only = F.regexp_replace(s, r"[^\x00-\x7F]", "")
-    return F.regexp_replace(ascii_only, r"^\s+|\s+$", "")
+    ws = r"[\s\x{001C}-\x{001F}]"
+    return F.regexp_replace(ascii_only, f"^{ws}+|{ws}+$", "")
 
 
 def remove_year(title: Column) -> Column:

@@ -498,7 +498,10 @@ def _x_cimanow_listing(root: Node, url: str):
                     em = lis[-1].find("em")
                     raw_genres = "" if em is None else em.text
                     title = lis[-1].text.replace(raw_genres, "").strip()
-            watch_url = f"https://cimanow.cc/{slug}/watching"
+            # reference hardcodes https://cimanow.cc/ (CimaNowMovieScraper.py:60);
+            # the engine derives it from the page's own host so the same
+            # extractor serves any deployment of the site shape
+            watch_url = f"https://{_host_from_url(url)}/{slug}/watching"
             links.append({"url": watch_url, "role": "watch"})
             cards.append({
                 "url": watch_url,

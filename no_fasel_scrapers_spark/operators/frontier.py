@@ -1,0 +1,158 @@
+"""URL frontier: schema, wave materialization, salted host partitioning.
+
+The reference's frontier is implicit — static page ranges + per-page link
+lists (``Common.py:141-160``, O4/O13).  Here it is an explicit DataFrame
+with a deterministic total order, which is what makes the crawl reproducible
+at any parallelism (north_rule):
+
+    wave ordering key = (priority ASC, depth ASC, url_hash ASC)
+
+``take_wave`` materializes one wave as ``ORDER BY key LIMIT budget`` —
+Spark plans that as TakeOrderedAndProject (no full sort at the driver), and
+the leftover rows carry to the next wave.  Partitioning for the fetch stage
+is ``repartition(host, host_salt)`` so one mega-host spreads over
+``n_salts`` tasks instead of straggling one (AQE skew-join handles the rest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.canonical import canonicalize_url, url_host
+
+FRONTIER_SCHEMA = (
+    "url string, url_hash long, host string, host_salt int, site string, "
+    "category string, role string, url_template string, depth int, "
+    "priority int, discovered_from string"
+)
+
+ORDER_COLS = ["priority", "depth", "url_hash"]
+
+
+def with_frontier_keys(df: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Normalize raw (url, …) rows into frontier rows: canonicalize the url
+    and attach url_hash / host / host_salt."""
+    canon = canonicalize_url(F.col("url"))
+    return (
+        df.withColumn("url", canon)
+        .withColumn("url_hash", F.xxhash64(F.col("url")))
+        .withColumn("host", url_host(F.col("url")))
+        .withColumn(
+            "host_salt", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int")
+        )
+    )
+
+
+def seeds_to_frontier(seeds: DataFrame, n_salts: int = 8) -> DataFrame:
+    base = (
+        seeds.withColumn("depth", F.coalesce(F.col("depth"), F.lit(0)))
+        .withColumn("priority", F.coalesce(F.col("priority"), F.lit(0)))
+        .withColumn("discovered_from", F.lit(None).cast("string"))
+    )
+    return with_frontier_keys(base, n_salts).select(
+        "url", "url_hash", "host", "host_salt", "site", "category", "role",
+        "url_template", "depth", "priority", "discovered_from",
+    )
+
+
+def dedup_within(frontier: DataFrame) -> DataFrame:
+    """Keep one row per url_hash — lowest (priority, depth) wins, then the
+    lexicographically-first discovered_from for determinism."""
+    w = F.row_number().over(
+        _order_window(partition=["url_hash"])
+    )
+    return frontier.withColumn("__rn", w).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def _order_window(partition: list[str] | None = None):
+    from pyspark.sql.window import Window
+
+    cols = [
+        F.col("priority").asc(),
+        F.col("depth").asc(),
+        F.col("url_hash").asc(),
+        F.col("discovered_from").asc_nulls_first(),
+    ]
+    w = Window.orderBy(*cols)
+    if partition:
+        w = Window.partitionBy(*partition).orderBy(*cols)
+    return w
+
+
+def take_wave(
+    frontier: DataFrame, budget: int | None
+) -> tuple[DataFrame, DataFrame]:
+    """Split frontier into (this_wave, leftover) by the deterministic order.
+
+    With a budget this is a global top-K (TakeOrderedAndProject); leftovers
+    are the anti-join of the original against the taken keys.  Without a
+    budget the whole frontier is the wave (no sort materialized — ordering
+    is only a logical contract unless an audit rank is requested).
+    """
+    if budget is None:
+        return frontier, frontier.limit(0)
+    wave = frontier.orderBy(*[F.col(c).asc() for c in ORDER_COLS]).limit(budget)
+    leftover = frontier.join(wave.select("url_hash"), "url_hash", "left_anti")
+    return wave, leftover
+
+
+def with_audit_rank(wave: DataFrame) -> DataFrame:
+    """Attach the global deterministic rank within the wave (audit mode).
+
+    A global row_number forces a single-partition window — fine for audit
+    runs and tests; production runs skip it (the order exists logically and
+    per-host ranks are computed partitioned, see politeness)."""
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*[F.col(c).asc() for c in ORDER_COLS])
+    return wave.withColumn("rank", F.row_number().over(w) - 1)
+
+
+def repartition_for_fetch(wave: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """Salted host repartition before the fetch/extract stage (skew control)."""
+    if n_partitions:
+        return wave.repartition(n_partitions, "host", "host_salt")
+    return wave.repartition("host", "host_salt")
+
+
+def expand_pagination(
+    spark: SparkSession,
+    probes: list[dict],
+    n_salts: int = 8,
+) -> DataFrame | None:
+    """Turn pagination-extent probe results into listing frontier rows.
+
+    ``probes``: [{site, category, url_template, last_page, depth, priority}].
+    Reference O5: the extent probe on page 1 seeds the page range — here the
+    range is generated distributed (``spark.range``), one row per page 1..N
+    (the reference's HDW over-scan quirk, last+1, is applied by the caller).
+    This replaces split_into_ranges + thread pools (O4/O13) outright.
+    """
+    frames = []
+    for p in probes:
+        if not p.get("last_page") or not p.get("url_template"):
+            continue
+        rng = spark.range(1, int(p["last_page"]) + 1).select(
+            F.format_string(
+                p["url_template"].replace("%", "%%").replace("{p}", "%d"),
+                F.col("id"),
+            ).alias("url"),
+            F.lit(p["site"]).alias("site"),
+            F.lit(p["category"]).alias("category"),
+            F.lit("listing").alias("role"),
+            F.lit(None).cast("string").alias("url_template"),
+            F.lit(int(p.get("depth", 0)) + 1).cast("int").alias("depth"),
+            F.lit(int(p.get("priority", 0))).cast("int").alias("priority"),
+            F.lit(p.get("from_url")).cast("string").alias("discovered_from"),
+        )
+        frames.append(rng)
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return with_frontier_keys(out, n_salts).select(
+        "url", "url_hash", "host", "host_salt", "site", "category", "role",
+        "url_template", "depth", "priority", "discovered_from",
+    )

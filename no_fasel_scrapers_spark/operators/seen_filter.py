@@ -1,0 +1,288 @@
+"""Partitioned URL-seen filter: bloom + cuckoo blobs with exact backstop.
+
+The reference's incremental dedup is a Python dict membership test before
+each fetch (``FaselMoviesScraper.py:28-31`` and friends, O10).  At 10^10-URL
+scale the seen set can't be a broadcast dict OR a full shuffle join per
+wave; this operator is the scale path:
+
+1. the seen set is summarized into per-shard **bloom blobs** (numpy bitsets,
+   one per ``pmod(url_hash, n_shards)``), built distributed with
+   ``applyInPandas`` and checkpointed to the catalog each wave;
+2. candidate URLs probe the blobs inside ``mapInPandas`` (vectorized numpy,
+   no per-row Python) — *bloom-negative rows are definitely new* and skip
+   the expensive path entirely (the predicate-pushdown analog: cheap
+   membership before the join, SURVEY.md §4);
+3. only bloom-positive rows (true seen + fpp false positives) go through the
+   exact ``left_anti`` join backstop, so correctness never depends on fpp.
+
+A **cuckoo filter** variant supports deletions (recrawl invalidation) —
+same surface, fingerprint-based, with property tests for no-false-negative
+and delete-doesn't-evict-live-keys semantics.
+
+Sizing: ``bits_per_key=10`` → ~1% fpp at design load; blob bytes per shard =
+``n_expected/ n_shards * 10 / 8``.  For 10^10 keys and 4096 shards that is
+~3 MB/shard — within executor memory, shippable as a blob table join.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BLOB_SCHEMA = "shard int, kind string, bits binary, n_items long, m long, k int"
+
+
+def _h2(h: np.ndarray) -> np.ndarray:
+    """Second hash by 31-bit rotation of the (uint64) key hash."""
+    return ((h >> np.uint64(33)) | (h << np.uint64(31))) & np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _bloom_positions(h: np.ndarray, m: int, k: int) -> Iterator[np.ndarray]:
+    """k index arrays via double hashing: pos_i = (h1 + i*h2) mod m."""
+    h1 = h.astype(np.uint64)
+    h2 = _h2(h1)
+    for i in range(k):
+        yield ((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64)
+
+
+def build_bloom(hashes: np.ndarray, m: int, k: int) -> bytes:
+    bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+    if len(hashes):
+        for pos in _bloom_positions(hashes, m, k):
+            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bits.tobytes()
+
+
+def probe_bloom(blob: bytes, hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    """Boolean mask: True = maybe present (no false negatives)."""
+    bits = np.frombuffer(blob, dtype=np.uint8)
+    out = np.ones(len(hashes), dtype=bool)
+    for pos in _bloom_positions(hashes, m, k):
+        out &= (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+    return out
+
+
+def bloom_params(n_expected: int, bits_per_key: int = 10) -> tuple[int, int]:
+    m = max(64, n_expected * bits_per_key)
+    k = max(1, round(bits_per_key * math.log(2)))
+    return m, k
+
+
+def build_filter_blobs(
+    seen: DataFrame,
+    n_shards: int = 32,
+    bits_per_key: int = 10,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """seen(url_hash) → blobs(shard, bits, ...) built with applyInPandas.
+
+    One shuffle on ``shard`` (narrow — one long per row), then blob build is
+    partition-local numpy.  Per-shard m sizes from the shard's own count.
+    """
+    keyed = seen.select(
+        F.col(hash_col).alias("url_hash"),
+        F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int").alias("shard"),
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["url_hash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        m, k = bloom_params(max(len(h), 1), bits_per_key)
+        return pd.DataFrame(
+            [{
+                "shard": int(pdf["shard"].iloc[0]),
+                "kind": "bloom",
+                "bits": build_bloom(h, m, k),
+                "n_items": len(h),
+                "m": m,
+                "k": k,
+            }]
+        )
+
+    return keyed.groupBy("shard").applyInPandas(_build, schema=BLOB_SCHEMA)
+
+
+def mark_maybe_seen(
+    candidates: DataFrame,
+    blobs: DataFrame,
+    n_shards: int = 32,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Attach ``maybe_seen`` to candidates by probing the bloom blobs.
+
+    Blob table is tiny relative to candidates → broadcast join on shard,
+    then a vectorized probe in mapInPandas.  Bloom-negative rows are
+    guaranteed-new; only maybe_seen rows need the exact backstop.
+    """
+    withshard = candidates.withColumn(
+        "__shard", F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int")
+    )
+    joined = withshard.join(
+        F.broadcast(blobs.withColumnRenamed("shard", "__shard")),
+        "__shard",
+        "left",
+    )
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    ) + ", maybe_seen boolean"
+
+    cand_cols = [f.name for f in candidates.schema.fields]
+
+    def _probe(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = pdf[cand_cols].copy()
+            maybe = np.zeros(len(pdf), dtype=bool)
+            if len(pdf):
+                has_blob = pdf["bits"].notna().to_numpy()
+                if has_blob.any():
+                    for (m, k, blob), idx in _group_by_blob(pdf, has_blob):
+                        h = (
+                            pdf[hash_col]
+                            .to_numpy(dtype=np.int64)[idx]
+                            .astype(np.uint64)
+                        )
+                        maybe[idx] = probe_bloom(blob, h, m, k)
+            res["maybe_seen"] = maybe
+            yield res
+
+    return joined.mapInPandas(_probe, schema=out_schema)
+
+
+def _group_by_blob(pdf: pd.DataFrame, has_blob: np.ndarray):
+    """Group row indices by (m, k, blob) to probe each blob once per batch."""
+    idx_all = np.nonzero(has_blob)[0]
+    shards = pdf["__shard"].to_numpy()[idx_all]
+    for s in np.unique(shards):
+        idx = idx_all[shards == s]
+        row = idx[0]
+        yield (
+            int(pdf["m"].iloc[row]),
+            int(pdf["k"].iloc[row]),
+            pdf["bits"].iloc[row],
+        ), idx
+
+
+def dedup_against_seen(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    blobs: DataFrame | None,
+    n_shards: int = 32,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """New-only candidates: bloom pre-filter + exact left_anti backstop.
+
+    ``seen`` may be None/empty (first wave).  The left_anti join runs only
+    over bloom-positive rows — at design fpp that is |true seen ∩ wave| +
+    ~1% of the rest, so the shuffle is a fraction of the naive plan's.
+    """
+    if seen is None:
+        return candidates
+    if blobs is not None:
+        marked = mark_maybe_seen(candidates, blobs, n_shards, hash_col)
+        fresh = marked.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        suspect = marked.filter(F.col("maybe_seen")).drop("maybe_seen")
+        survivors = suspect.join(
+            seen.select(F.col(hash_col).alias(hash_col)).distinct(),
+            hash_col,
+            "left_anti",
+        )
+        return fresh.unionByName(survivors)
+    return candidates.join(
+        seen.select(F.col(hash_col).alias(hash_col)).distinct(),
+        hash_col,
+        "left_anti",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cuckoo filter (deletion-capable variant; SURVEY.md §7.1-3)
+# ---------------------------------------------------------------------------
+
+class CuckooFilter:
+    """Bucketed cuckoo filter over 16-bit fingerprints, 4 slots/bucket.
+
+    Supports delete (recrawl invalidation) which bloom cannot.  Stored as a
+    uint16 numpy table; fingerprint 0 is reserved for "empty" (fingerprints
+    are mapped to 1..65535).  Partial-key cuckoo hashing: the alternate
+    bucket is ``bucket ^ hash(fingerprint)``.
+    """
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, n_buckets: int):
+        # power of two for cheap masking
+        self.n_buckets = 1 << max(4, (n_buckets - 1).bit_length())
+        self.table = np.zeros((self.n_buckets, self.SLOTS), dtype=np.uint16)
+
+    @staticmethod
+    def _fingerprint(h: int) -> int:
+        fp = (h >> 20) & 0xFFFF
+        return fp if fp != 0 else 1
+
+    def _buckets(self, h: int) -> tuple[int, int]:
+        mask = self.n_buckets - 1
+        i1 = h & mask
+        fp = self._fingerprint(h)
+        i2 = (i1 ^ (fp * 0x5BD1E995)) & mask
+        return i1, i2
+
+    def insert(self, h: int) -> bool:
+        fp = self._fingerprint(h)
+        i1, i2 = self._buckets(h)
+        for i in (i1, i2):
+            row = self.table[i]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = fp
+                return True
+        # kick loop
+        i = i1
+        cur = fp
+        rng_state = h & 0xFFFFFFFF
+        mask = self.n_buckets - 1
+        for _ in range(self.MAX_KICKS):
+            rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
+            slot = rng_state % self.SLOTS
+            cur, self.table[i][slot] = int(self.table[i][slot]), cur
+            i = (i ^ (cur * 0x5BD1E995)) & mask
+            row = self.table[i]
+            empty = np.nonzero(row == 0)[0]
+            if len(empty):
+                row[empty[0]] = cur
+                return True
+        return False  # table full — caller resizes
+
+    def contains(self, h: int) -> bool:
+        fp = self._fingerprint(h)
+        i1, i2 = self._buckets(h)
+        return bool((self.table[i1] == fp).any() or (self.table[i2] == fp).any())
+
+    def delete(self, h: int) -> bool:
+        fp = self._fingerprint(h)
+        for i in self._buckets(h):
+            row = self.table[i]
+            hit = np.nonzero(row == fp)[0]
+            if len(hit):
+                row[hit[0]] = 0
+                return True
+        return False
+
+    def to_bytes(self) -> bytes:
+        return self.table.tobytes()
+
+    @classmethod
+    def from_bytes(cls, blob: bytes, n_buckets: int) -> "CuckooFilter":
+        cf = cls.__new__(cls)
+        cf.n_buckets = n_buckets
+        cf.table = (
+            np.frombuffer(blob, dtype=np.uint16)
+            .reshape(n_buckets, cls.SLOTS)
+            .copy()
+        )
+        return cf

@@ -1,0 +1,341 @@
+"""The crawl engine: deterministic frontier waves over an offline pages table.
+
+Replaces the reference's whole orchestration machinery — nested thread/
+process pools (O13), static page ranges (O4), per-dict dedup (O10), cookie
+mutex (O1/O2) — with one declarative wave loop:
+
+    wave k:  frontier ──take_wave(budget)──▶ wave rows
+             ──robots gate──▶ allowed        (O-north: robots)
+             ──bloom + exact anti-join──▶ fresh   (O10 at scale)
+             ──politeness schedule──▶ scheduled   (O-north: token bucket)
+             ──join pages table──▶ fetched        ("fetch" = offline join)
+             ──mapInPandas extract──▶ extracted   (O6/O7, Arrow batches)
+             links + pagination expansion ──▶ frontier k+1
+             seen ∪= attempted;  lineage += wave metrics
+             checkpoint (frontier, seen, outputs) → catalog snapshot
+
+Every wave checkpoints to the snapshot catalog with per-partition lineage
+(wave id, host, rows fetched/deduped) so a killed job resumes exactly
+(north_rule); ``resume_crawl`` proves it in tests/test_resume.py.
+
+Scale notes (100 TB / 10^10 URLs):
+- the pages table is scanned via a hash join keyed on ``url_hash``; per
+  wave the frontier side is small → Spark broadcasts it (AQE), so "fetch"
+  is one pass over the relevant pages partitions, no global shuffle of
+  the big side;
+- the seen set is never broadcast and never rewritten: per-wave deltas are
+  appended (catalog append-log) and summarized into bloom blobs; the exact
+  backstop join touches only bloom-positive rows;
+- a global audit rank is OFF by default (single-partition window); the
+  deterministic order still exists logically via the (priority, depth,
+  url_hash) key.
+
+Live-fetch note: the offline join stands in for HTTP.  A live adapter
+replaces ``_fetch_offline`` with a mapInPandas batch fetcher consuming
+``scheduled_ms`` (token bucket) + a driver-refreshed auth token broadcast
+(cookie gate O1) — deliberately isolated so the engine itself stays
+deterministic and testable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.extract import EXTRACT_SCHEMA, extract_page
+from ..operators.frontier import (
+    dedup_within,
+    expand_pagination,
+    repartition_for_fetch,
+    seeds_to_frontier,
+    take_wave,
+    with_audit_rank,
+    with_frontier_keys,
+)
+from ..operators.politeness import politeness_metrics, schedule_fetches
+from ..operators.robots import apply_robots
+from ..operators.seen_filter import build_filter_blobs, dedup_against_seen
+from ..sources.catalog import Catalog
+
+PASSTHROUGH = ["site", "category", "depth", "priority", "url_template"]
+CRAWL_EXTRACT_SCHEMA = (
+    EXTRACT_SCHEMA
+    + ", category string, depth int, priority int, url_template string, wave int"
+)
+
+
+def _extractor(wave_no: int):
+    """mapInPandas body with frontier-column passthrough."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for rec in pdf.to_dict("records"):
+                out = extract_page(rec["url"], rec["role"], rec["html"])
+                out["category"] = rec["category"]
+                out["depth"] = rec["depth"]
+                out["priority"] = rec["priority"]
+                out["url_template"] = rec["url_template"]
+                out["wave"] = wave_no
+                rows.append(out)
+            cols = [
+                "url", "role", "site", "links", "cards", "fields",
+                "last_page", "text", "category", "depth", "priority",
+                "url_template", "wave",
+            ]
+            yield pd.DataFrame(rows, columns=cols)
+
+    return run
+
+
+@dataclass
+class CrawlResult:
+    extracted: DataFrame          # all waves, CRAWL_EXTRACT_SCHEMA
+    seen: DataFrame               # url_hash, url, wave (+rank in audit mode)
+    lineage: list[dict] = field(default_factory=list)
+    waves: int = 0
+
+
+def _prep_pages(pages: DataFrame) -> DataFrame:
+    return pages.select(
+        F.col("url").alias("p_url"),
+        F.xxhash64(F.col("url")).alias("url_hash"),
+        "html",
+    )
+
+
+def _empty_seen(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], "url_hash long, url string, wave int, rank int")
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    robots: DataFrame,
+    catalog: Catalog,
+    *,
+    wave_budget: int | None = None,
+    max_waves: int = 24,
+    n_salts: int = 8,
+    n_shards: int = 32,
+    seen_prior: DataFrame | None = None,
+    audit: bool = False,
+    start_wave: int = 0,
+    frontier: DataFrame | None = None,
+    seen: DataFrame | None = None,
+    lineage: list[dict] | None = None,
+) -> CrawlResult:
+    pages_k = _prep_pages(pages)
+    # the pages side is reused every wave — cache the slim projection
+    pages_k.cache()
+
+    if frontier is None:
+        frontier = seeds_to_frontier(seeds, n_salts)
+    if seen is None:
+        seen = _empty_seen(spark)
+        if seen_prior is not None:
+            seen = seen.unionByName(
+                with_frontier_keys(seen_prior.select("url"), n_salts).select(
+                    "url_hash", "url",
+                    F.lit(-1).alias("wave"), F.lit(-1).alias("rank"),
+                )
+            )
+    lineage = list(lineage or [])
+
+    robots_b = robots
+    wave_no = start_wave
+
+    while wave_no < max_waves:
+        frontier = dedup_within(frontier)
+        if frontier.isEmpty():
+            break
+
+        wave, leftover = take_wave(frontier, wave_budget)
+        allowed, blocked = apply_robots(wave, robots_b)
+
+        blobs = (
+            build_filter_blobs(seen, n_shards) if not seen.isEmpty() else None
+        )
+        fresh = dedup_against_seen(allowed, seen, blobs, n_shards)
+        scheduled = schedule_fetches(fresh, robots_b, n_salts)
+
+        fetched = repartition_for_fetch(
+            scheduled.join(pages_k, "url_hash", "left").filter(
+                F.col("p_url").isNull() | (F.col("p_url") == F.col("url"))
+            )
+        )
+
+        extracted = fetched.select(
+            "url", "role", "html", "site", "category", "depth", "priority",
+            "url_template",
+        ).mapInPandas(_extractor(wave_no), schema=CRAWL_EXTRACT_SCHEMA)
+
+        # ---- checkpoint this wave's outputs (append-log snapshot) --------
+        snap = catalog.write(
+            extracted, "extracted", meta={"wave": wave_no, "kind": "delta"}
+        )
+        wave_ex = spark.read.parquet(snap.path)
+
+        # ---- wave metrics -------------------------------------------------
+        n_wave = wave.count()
+        n_blocked = blocked.count()
+        n_fresh = scheduled.count()
+        n_hit = wave_ex.filter(F.col("text").isNotNull()).count()
+        host_metrics = [
+            r.asDict() for r in politeness_metrics(scheduled).collect()
+        ]
+        links_df = wave_ex.select(
+            F.explode_outer("links").alias("l"),
+            F.col("url").alias("discovered_from"),
+            "category", "depth", "priority",
+        ).filter(F.col("l").isNotNull())
+
+        # ---- audit rank / seen update ------------------------------------
+        if audit:
+            ranked = with_audit_rank(scheduled)
+            seen_delta = ranked.select(
+                "url_hash", "url", F.lit(wave_no).alias("wave"),
+                F.col("rank").cast("int").alias("rank"),
+            )
+        else:
+            seen_delta = scheduled.select(
+                "url_hash", "url", F.lit(wave_no).alias("wave"),
+                F.lit(-1).alias("rank"),
+            )
+        seen = seen.unionByName(seen_delta)
+        catalog.write(seen, "seen", meta={"wave": wave_no})
+        seen = catalog.read(spark, "seen")
+
+        # ---- next frontier -------------------------------------------------
+        child = links_df.select(
+            F.col("l.url").alias("url"),
+            F.lit(None).cast("string").alias("site"),
+            "category",
+            F.col("l.role").alias("role"),
+            F.lit(None).cast("string").alias("url_template"),
+            (F.col("depth") + 1).cast("int").alias("depth"),
+            F.col("priority").cast("int").alias("priority"),
+            "discovered_from",
+        )
+        child = with_frontier_keys(child, n_salts).withColumn(
+            "site", _site_col(F.col("host"))
+        ).select(
+            "url", "url_hash", "host", "host_salt", "site", "category",
+            "role", "url_template", "depth", "priority", "discovered_from",
+        )
+
+        probes = [
+            {
+                "site": r["site"],
+                "category": r["category"],
+                "url_template": r["url_template"],
+                # reference HDW over-scan quirk: pages 1..last+1
+                # (HDWMoviesScraper.py:60)
+                "last_page": r["last_page"] + (1 if r["site"] == "hdw" else 0),
+                "depth": r["depth"],
+                "priority": r["priority"],
+                "from_url": r["url"],
+            }
+            for r in wave_ex.filter(
+                F.col("last_page").isNotNull()
+                & F.col("url_template").isNotNull()
+            ).select(
+                "site", "category", "url_template", "last_page", "depth",
+                "priority", "url",
+            ).collect()
+        ]
+        pagination = expand_pagination(spark, probes, n_salts)
+
+        nxt = leftover.unionByName(child)
+        if pagination is not None:
+            nxt = nxt.unionByName(pagination)
+        # drop anything already attempted (cheap pre-prune; the wave-side
+        # bloom+anti-join remains the correctness gate)
+        nxt = nxt.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
+
+        catalog.write(nxt, "frontier", meta={"wave": wave_no + 1})
+        frontier = catalog.read(spark, "frontier")
+
+        lineage.append(
+            {
+                "wave": wave_no,
+                "frontier_size": n_wave,
+                "robots_blocked": n_blocked,
+                "dedup_dropped": n_wave - n_blocked - n_fresh,
+                "attempted": n_fresh,
+                "fetched": n_hit,
+                "missed": n_fresh - n_hit,
+                "hosts": host_metrics,
+            }
+        )
+        catalog.write(
+            spark.createDataFrame(
+                [
+                    (
+                        l["wave"], l["frontier_size"], l["robots_blocked"],
+                        l["dedup_dropped"], l["attempted"], l["fetched"],
+                        l["missed"],
+                    )
+                    for l in lineage
+                ],
+                "wave int, frontier_size long, robots_blocked long, "
+                "dedup_dropped long, attempted long, fetched long, missed long",
+            ),
+            "lineage",
+            meta={"wave": wave_no},
+        )
+        wave_no += 1
+
+    extracted_all = (
+        catalog.read_union(spark, "extracted")
+        if catalog.exists("extracted")
+        else spark.createDataFrame([], CRAWL_EXTRACT_SCHEMA)
+    )
+    return CrawlResult(
+        extracted=extracted_all, seen=seen, lineage=lineage, waves=wave_no
+    )
+
+
+def resume_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: DataFrame,
+    robots: DataFrame,
+    catalog: Catalog,
+    **kw,
+) -> CrawlResult:
+    """Resume a killed crawl from its last published wave checkpoint.
+
+    The catalog's atomic manifest publish means a crash mid-wave leaves the
+    previous wave's snapshots authoritative; we restart from the latest
+    published frontier + seen, replaying nothing."""
+    if not catalog.exists("frontier"):
+        return run_crawl(spark, pages, seeds, robots, catalog, **kw)
+    f_snap = catalog.latest("frontier")
+    start_wave = int(f_snap.meta.get("wave", 0))
+    frontier = catalog.read(spark, "frontier")
+    seen = (
+        catalog.read(spark, "seen")
+        if catalog.exists("seen")
+        else None
+    )
+    lineage = []
+    if catalog.exists("lineage"):
+        lineage = [r.asDict() for r in catalog.read(spark, "lineage").collect()]
+    return run_crawl(
+        spark, pages, seeds, robots, catalog,
+        start_wave=start_wave, frontier=frontier, seen=seen, lineage=lineage,
+        **kw,
+    )
+
+
+def _site_col(host):
+    c = F.lower(host)
+    expr = F.lit("unknown")
+    for s in ("cimanow", "wecima", "hdw", "akwam", "fasel"):
+        expr = F.when(c.contains(s), F.lit(s)).otherwise(expr)
+    return expr

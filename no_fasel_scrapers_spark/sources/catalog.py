@@ -120,5 +120,16 @@ class Catalog:
         )
         return spark.read.parquet(snap.path)
 
+    def read_union(self, spark: SparkSession, name: str) -> DataFrame:
+        """Union of ALL published snapshots — the append-log read path.
+
+        Used for per-wave delta tables (``extracted``, lineage) where each
+        snapshot holds only that wave's rows; mirrors an Iceberg append
+        table, while ``read`` mirrors a replace table."""
+        snaps = self.snapshots(name)
+        if not snaps:
+            raise FileNotFoundError(f"table {name!r} has no published snapshot")
+        return spark.read.parquet(*[s.path for s in snaps])
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tdir(name), ignore_errors=True)

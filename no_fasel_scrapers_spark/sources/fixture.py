@@ -455,7 +455,7 @@ class Fixture:
                 "genres": [g.capitalize() for g in fasel_genres(i)],
                 "image_source": resolve_image(key, img, self.image_cache),
                 "episodes_total": total_eps,
-                "seasons_json": json.dumps(seasons_json, sort_keys=True),
+                "seasons_json": json.dumps(seasons_json, sort_keys=True, separators=(",", ":")),
             })
 
         def fasel_series_pagination(h: H, last: int):
@@ -615,7 +615,7 @@ class Fixture:
                 "genres": [AKWAM_GENRES[g] for g in gids],
                 "image_source": resolve_image(key, image_url, self.image_cache),
                 "episodes_total": n_eps,
-                "seasons_json": json.dumps(eps_json, sort_keys=True),
+                "seasons_json": json.dumps(eps_json, sort_keys=True, separators=(",", ":")),
             })
             if i % 4 == 1:
                 self.seen_prior.append({
@@ -916,10 +916,9 @@ class Fixture:
         )
 
     def tmdb_df(self, spark):
+        rows = sorted({(t["title"], t["kind"], t["tmdb_id"]) for t in self.tmdb_lookup})
         return spark.createDataFrame(
-            [(t["title"], t["kind"], t["tmdb_id"]) for t in self.tmdb_lookup]
-            or [("", "", 0)],
-            "title string, kind string, tmdb_id long",
+            rows or [("", "", 0)], "title string, kind string, tmdb_id long"
         )
 
     def seen_prior_df(self, spark):

@@ -1,0 +1,135 @@
+"""Property tests: Spark column cleanups == reference Python semantics.
+
+Each Spark expression in functions/cleanups.py is compared byte-for-byte
+against a Python oracle implementing the reference helper verbatim
+(Common.py:163-165, 257-264, 184-186, 360-364; TrendingScraper.py:87-88).
+"""
+
+from urllib.parse import quote
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from no_fasel_scrapers_spark.functions import cleanups
+
+# -- Python oracles (reference semantics, verbatim) -------------------------
+
+def o_remove_arabic(s):
+    return s.encode("ascii", "ignore").decode().strip()
+
+
+def o_remove_year(t):
+    if t[-4:].isdigit() and len(t) > 4:
+        t = t.replace(t[-5:], "")
+    return t
+
+
+def o_fix_url(u):
+    return quote(u.split("?")[0]).replace("%3A", ":")
+
+
+def o_clean_iframe(src):
+    try:
+        return src.split("=")[2].replace("&img", "")
+    except IndexError:
+        return ""
+
+
+def _run(spark, fn, values):
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    return [r["out"] for r in df.select(fn(F.col("s")).alias("out")).collect()]
+
+
+ASCII_TITLE = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E), max_size=24
+)
+MIXED = st.text(max_size=24).filter(lambda s: "\x00" not in s)
+
+
+def _edge_cases():
+    return [
+        "", "2020", "02020", "A 2020", "ab 2020 cd 2020", "T3", "    ",
+        "عنوان عربي", "x عربي y 2021", "a=b=c&imgZ", "no-equals",
+        "one=two", "a=b=c=d&img&img", "  padded  ", "A\t2021", "1234",
+        "x1234", " 1234",
+    ]
+
+
+class TestRemoveArabicChars:
+    def test_edges(self, spark):
+        vals = _edge_cases()
+        got = _run(spark, cleanups.remove_arabic_chars, vals)
+        assert got == [o_remove_arabic(v) for v in vals]
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(MIXED, min_size=1, max_size=20))
+    def test_property(self, spark, vals):
+        got = _run(spark, cleanups.remove_arabic_chars, vals)
+        assert got == [o_remove_arabic(v) for v in vals]
+
+
+class TestRemoveYear:
+    def test_edges(self, spark):
+        vals = _edge_cases()
+        got = _run(spark, cleanups.remove_year, vals)
+        assert got == [o_remove_year(v) for v in vals]
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(ASCII_TITLE, min_size=1, max_size=20))
+    def test_property(self, spark, vals):
+        got = _run(spark, cleanups.remove_year, vals)
+        assert got == [o_remove_year(v) for v in vals]
+
+
+class TestCleanTitle:
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(MIXED, min_size=1, max_size=20))
+    def test_composition(self, spark, vals):
+        got = _run(spark, cleanups.clean_title, vals)
+        assert got == [o_remove_year(o_remove_arabic(v)) for v in vals]
+
+
+class TestFixUrl:
+    def test_edges(self, spark):
+        vals = [
+            "https://a.b/c d/e?x=1", "https://a.b/%D9%81?q", "a b*c~d/e:f",
+            "https://x/امم?utm=1", "", "?only-query", "https://a.b/+plus",
+        ]
+        got = _run(spark, cleanups.fix_url, vals)
+        assert got == [o_fix_url(v) for v in vals]
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(MIXED, min_size=1, max_size=15))
+    def test_property(self, spark, vals):
+        got = _run(spark, cleanups.fix_url, vals)
+        assert got == [o_fix_url(v) for v in vals]
+
+
+class TestCleanIframeSource:
+    def test_edges(self, spark):
+        vals = _edge_cases() + [
+            "https://p/e?a=b&src=STR7", "https://p/e?a=b&src=STR7&img=pp",
+        ]
+        got = _run(spark, cleanups.clean_iframe_source, vals)
+        assert got == [o_clean_iframe(v) for v in vals]
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(MIXED, min_size=1, max_size=20))
+    def test_property(self, spark, vals):
+        got = _run(spark, cleanups.clean_iframe_source, vals)
+        assert got == [o_clean_iframe(v) for v in vals]
+
+
+class TestNormalizedTitleKey:
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(MIXED, min_size=1, max_size=20))
+    def test_property(self, spark, vals):
+        got = _run(spark, cleanups.normalized_title_key, vals)
+        assert got == ["".join(v.lower().split()) for v in vals]
+
+
+class TestPyCapitalize:
+    def test_genre_slugs(self, spark):
+        vals = ["action", "sci-fi", "DRAMA", "", "x"]
+        got = _run(spark, cleanups.py_capitalize, vals)
+        assert got == [v.capitalize() for v in vals]

@@ -1,0 +1,141 @@
+"""End-to-end crawl: determinism vs the single-threaded oracle, the text
+invariant, robots gating, budget carry-over, incremental seen_prior."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from no_fasel_scrapers_spark.plans.crawl import run_crawl
+from no_fasel_scrapers_spark.plans.oracle_crawler import crawl_oracle
+from no_fasel_scrapers_spark.sources.catalog import Catalog
+
+
+def _oracle(fixture, **kw):
+    pages = {p["url"]: p["html"] for p in fixture.pages}
+    return crawl_oracle(pages, fixture.seeds, fixture.robots, **kw)
+
+
+def _crawl(spark, fixture, tmp_path, name, **kw):
+    cat = Catalog(str(tmp_path / name))
+    return run_crawl(
+        spark,
+        fixture.pages_df(spark),
+        fixture.seeds_df(spark),
+        fixture.robots_df(spark),
+        cat,
+        audit=True,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def crawl_result(spark, fixture, tmp_path_factory):
+    return _crawl(spark, fixture, tmp_path_factory.mktemp("crawl"), "c0")
+
+
+@pytest.fixture(scope="module")
+def oracle_result(fixture):
+    return _oracle(fixture)
+
+
+class TestCrawlDeterminism:
+    def test_order_matches_oracle(self, crawl_result, oracle_result):
+        got = sorted(
+            (r["wave"], r["rank"], r["url"])
+            for r in crawl_result.seen.filter(F.col("wave") >= 0).collect()
+        )
+        assert got == sorted(oracle_result.orders)
+
+    def test_seen_set_matches_oracle(self, crawl_result, oracle_result):
+        got = {r["url"] for r in crawl_result.seen.collect()}
+        assert got == oracle_result.seen
+
+    def test_other_parallelism_identical(
+        self, spark, fixture, tmp_path_factory, crawl_result
+    ):
+        """Same job at a different shuffle parallelism → identical order."""
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "7")
+            res2 = _crawl(
+                spark, fixture, tmp_path_factory.mktemp("crawl2"), "c1"
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
+        a = sorted(
+            (r["wave"], r["rank"], r["url"]) for r in crawl_result.seen.collect()
+        )
+        b = sorted((r["wave"], r["rank"], r["url"]) for r in res2.seen.collect())
+        assert a == b
+
+
+class TestCrawlInvariants:
+    def test_text_byte_identical(self, crawl_result, fixture):
+        """north_rule per-row invariant: extracted text == pages.text, byte
+        for byte, for every fetched url."""
+        expected = {p["url"]: p["text"] for p in fixture.pages}
+        rows = crawl_result.extracted.filter(F.col("text").isNotNull()).collect()
+        assert rows, "nothing extracted"
+        for r in rows:
+            assert r["text"] == expected[r["url"]], r["url"]
+
+    def test_robots_gate(self, crawl_result):
+        blocked = crawl_result.seen.filter(F.col("url").contains("/private/"))
+        assert blocked.count() == 0
+
+    def test_every_page_reachable_was_fetched(self, crawl_result, fixture):
+        # all non-robots-blocked pages of the fixture should be discovered
+        fetched = {r["url"] for r in crawl_result.seen.collect()}
+        expected = {
+            p["url"] for p in fixture.pages if "/private/" not in p["url"]
+        }
+        missing = expected - fetched
+        assert not missing, sorted(missing)[:5]
+
+    def test_lineage_counts(self, crawl_result):
+        assert crawl_result.lineage, "no lineage rows"
+        total_attempted = sum(l["attempted"] for l in crawl_result.lineage)
+        assert total_attempted == crawl_result.seen.filter(
+            F.col("wave") >= 0
+        ).count()
+        for l in crawl_result.lineage:
+            assert l["attempted"] == l["fetched"] + l["missed"]
+
+
+class TestBudgetAndIncremental:
+    def test_budget_carryover_same_result(self, spark, fixture, tmp_path_factory, oracle_result):
+        res = _crawl(
+            spark, fixture, tmp_path_factory.mktemp("crawlb"), "cb",
+            wave_budget=40, max_waves=60,
+        )
+        oracle_b = _oracle(fixture, wave_budget=40, max_waves=60)
+        got = sorted(
+            (r["wave"], r["rank"], r["url"])
+            for r in res.seen.filter(F.col("wave") >= 0).collect()
+        )
+        assert got == sorted(oracle_b.orders)
+        # budget changes the schedule, not the final coverage
+        assert {r["url"] for r in res.seen.collect()} == oracle_result.seen
+
+    def test_seen_prior_skips(self, spark, fixture, tmp_path_factory):
+        cat = Catalog(str(tmp_path_factory.mktemp("crawlp") / "cp"))
+        res = run_crawl(
+            spark,
+            fixture.pages_df(spark),
+            fixture.seeds_df(spark),
+            fixture.robots_df(spark),
+            cat,
+            seen_prior=fixture.seen_prior_df(spark),
+            audit=True,
+        )
+        prior = {s["url"] for s in fixture.seen_prior}
+        refetched = {
+            r["url"]
+            for r in res.seen.filter(F.col("wave") >= 0).collect()
+        } & prior
+        assert not refetched
+        oracle_p = _oracle(fixture, seen_prior=prior)
+        got = sorted(
+            (r["wave"], r["rank"], r["url"])
+            for r in res.seen.filter(F.col("wave") >= 0).collect()
+        )
+        assert got == sorted(oracle_p.orders)
