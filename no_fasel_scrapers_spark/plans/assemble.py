@@ -26,8 +26,23 @@ from ..functions.cleanups import (
 )
 from ..functions.decode_tables import PLACEHOLDER_IMAGE
 
-_NULL_STR = F.lit(None).cast("string")
-_NULL_LONG = F.lit(None).cast("long")
+def _sort_by_key(arr):
+    """array_sort with an explicit key comparator — works even when the
+    struct's value field is a MAP (plain sort_array cannot order those)."""
+    return F.array_sort(
+        arr,
+        lambda l, r: F.when(l["key"] < r["key"], F.lit(-1))
+        .when(l["key"] > r["key"], F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+
+
+def _NULL_STR():
+    return F.lit(None).cast("string")
+
+
+def _NULL_LONG():
+    return F.lit(None).cast("long")
 
 
 def resolve_image(content_key, raw_url, cache: DataFrame, df: DataFrame) -> DataFrame:
@@ -56,10 +71,13 @@ def resolve_image(content_key, raw_url, cache: DataFrame, df: DataFrame) -> Data
 
 
 def _cards(extracted: DataFrame, site: str) -> DataFrame:
+    # a card can appear on several fetched listing pages (the category root
+    # mirrors page 1) with identical content — distinct() collapses them
     return (
         extracted.filter((F.col("site") == site) & F.col("cards").isNotNull())
         .select("category", F.explode("cards").alias("c"))
         .select("category", "c.*")
+        .distinct()
     )
 
 
@@ -111,10 +129,10 @@ def assemble_fasel_movies(extracted: DataFrame, image_cache: DataFrame) -> DataF
         F.coalesce(F.col("genres"), F.array().cast("array<string>")).alias("genres"),
         "image_source",
         clean_iframe_source(F.col("iframe_src")).alias("source"),
-        _NULL_STR.alias("rating"),
-        _NULL_LONG.alias("tmdb_id"),
-        _NULL_STR.alias("sources_json"),
-        _NULL_STR.alias("season_number"),
+        _NULL_STR().alias("rating"),
+        _NULL_LONG().alias("tmdb_id"),
+        _NULL_STR().alias("sources_json"),
+        _NULL_STR().alias("season_number"),
     )
 
 
@@ -163,7 +181,7 @@ def assemble_fasel_series(extracted: DataFrame, image_cache: DataFrame) -> DataF
     per_season = sp.groupBy("season_id").agg(
         F.count("ep_url").alias("n_eps"),
         F.map_from_entries(
-            F.sort_array(
+            _sort_by_key(
                 F.collect_list(
                     F.struct(
                         F.col("episode_id").alias("key"),
@@ -184,7 +202,7 @@ def assemble_fasel_series(extracted: DataFrame, image_cache: DataFrame) -> DataF
         F.sum("n_eps").cast("int").alias("episodes_total"),
         F.to_json(
             F.map_from_entries(
-                F.sort_array(
+                _sort_by_key(
                     F.collect_list(
                         F.struct(
                             F.col("season_id").alias("key"),
@@ -270,17 +288,17 @@ def assemble_akwam_movies(
         F.lit("arabic-movies").alias("category"),
         "item_id",
         F.col("title"),
-        _NULL_STR.alias("fmt"),
+        _NULL_STR().alias("fmt"),
         F.coalesce(F.col("genres_named"), F.array().cast("array<string>")).alias("genres"),
         "image_source",
         F.concat(
             F.lit("https://"), F.col("host"), F.lit("/watch/"),
             F.col("short_link_id"), F.lit("/"), F.col("item_id"),
         ).alias("source"),
-        _NULL_STR.alias("rating"),
-        _NULL_LONG.alias("tmdb_id"),
-        _NULL_STR.alias("sources_json"),
-        _NULL_STR.alias("season_number"),
+        _NULL_STR().alias("rating"),
+        _NULL_LONG().alias("tmdb_id"),
+        _NULL_STR().alias("sources_json"),
+        _NULL_STR().alias("season_number"),
     )
 
 
@@ -327,7 +345,7 @@ def assemble_akwam_series(
         F.count("*").cast("int").alias("episodes_total"),
         F.to_json(
             F.map_from_entries(
-                F.sort_array(
+                _sort_by_key(
                     F.collect_list(
                         F.struct(
                             F.col("episode_id").alias("key"),
@@ -394,14 +412,14 @@ def assemble_hdw(extracted: DataFrame) -> DataFrame:
         F.lit("hdwmovies").alias("category"),
         "item_id",
         "title",
-        _NULL_STR.alias("fmt"),
+        _NULL_STR().alias("fmt"),
         "genres",
         F.col("image_url").alias("image_source"),
         "source",
         "rating",
-        _NULL_LONG.alias("tmdb_id"),
-        _NULL_STR.alias("sources_json"),
-        _NULL_STR.alias("season_number"),
+        _NULL_LONG().alias("tmdb_id"),
+        _NULL_STR().alias("sources_json"),
+        _NULL_STR().alias("season_number"),
     )
 
 
@@ -414,15 +432,15 @@ def assemble_wecima(extracted: DataFrame) -> DataFrame:
         F.lit("wecima").alias("category"),
         "item_id",
         "title",
-        _NULL_STR.alias("fmt"),
+        _NULL_STR().alias("fmt"),
         F.col("genres"),
         F.col("image_url").alias("image_source"),
         F.replace(
             F.col("source"), F.lit("https://wecima.tube/series/"), F.lit("")
         ).alias("source"),
-        _NULL_STR.alias("rating"),
-        _NULL_LONG.alias("tmdb_id"),
-        _NULL_STR.alias("sources_json"),
+        _NULL_STR().alias("rating"),
+        _NULL_LONG().alias("tmdb_id"),
+        _NULL_STR().alias("sources_json"),
         "season_number",
     )
 
@@ -472,14 +490,14 @@ def assemble_cimanow(
         F.lit("cimanow-movie").alias("category"),
         F.substring(F.md5(F.encode(F.col("title"), "UTF-8")), 1, 6).alias("item_id"),
         "title",
-        _NULL_STR.alias("fmt"),
+        _NULL_STR().alias("fmt"),
         "genres",
         F.col("image_url").alias("image_source"),
-        _NULL_STR.alias("source"),
-        _NULL_STR.alias("rating"),
+        _NULL_STR().alias("source"),
+        _NULL_STR().alias("rating"),
         "tmdb_id",
         "sources_json",
-        _NULL_STR.alias("season_number"),
+        _NULL_STR().alias("season_number"),
     )
 
 
