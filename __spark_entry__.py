@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship text-pipeline query on sf0.001.
+``queries()`` — one entry per implemented operator family from SURVEY.md §2
+(reference operators O4-O24 re-expressed over the driver's testdata tables)
+plus the training-data operators (dedup family, ANN, text stats, multimodal
+plumbing).  ``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every query
+whose semantics are SQL-expressible; xxhash64-based operators (minhash,
+simhash, LSH cells, fingerprints) and the crawl e2e run are rows-only.
+
+Column names and types are aligned pairwise between the Spark plan and the
+oracle SQL (aggregates go through exact decimal casts so the doubles match
+bit-for-bit; float-derived values are rounded on both sides).
 """
 
 from __future__ import annotations
@@ -12,27 +18,978 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col, scale: int = 2):
+    """Order-insensitive exact sum of a double column → double.
+
+    Summing doubles is order-dependent (Spark and DuckDB would disagree in
+    the last ulps); routing through decimal makes the aggregate exact and
+    engine-independent, then one exact cast back to double."""
+    return F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: text-quality pipeline over sf0.001 documents.
+
+    Exercises the columnar text-analysis family (SURVEY.md §2 training-data
+    ops): tokenization, language id, quality scoring — then a per-language
+    rollup.  Everything stays in whole-stage codegen."""
+    from no_fasel_scrapers_spark.operators.textstats import with_text_stats
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    stats = with_text_stats(docs)
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_tokens_ws").cast("long")).alias("total_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            F.count(F.when(F.col("lang_detected") == "en", 1)).alias(
+                "n_detected_en"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational / reference-operator queries (each cites its SURVEY.md §2 row)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape — partial-agg groupBy (map-side combine, one shuffle)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,6)"
+                )
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """3-table join: fact⋈fact shuffle join + broadcast dim (nation)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _dec_sum(F.col("o_totalprice")).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+def q_top_orders_per_customer(spark, sf_dir):
+    """Window precedence dedup — O20/O14 'first match wins' analog."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
+def q_customers_without_orders(spark, sf_dir):
+    """left_anti incremental-dedup shape — O10 (SURVEY.md §2)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def q_union_precedence_old_wins(spark, sf_dir):
+    """O14: `new | old` (old wins) via explicit source-rank window."""
+    from no_fasel_scrapers_spark.operators.merge import union_with_precedence
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.lit("old").alias("src"), "o_totalprice"
+    )
+    new = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.lit("new").alias("src"), "o_totalprice"
+    )
+    return union_with_precedence(old, new, "o_orderkey", old_wins=True)
+
+
+def q_episode_delta(spark, sf_dir):
+    """O11 incremental tail-only recompute: stored count vs current count."""
+    from no_fasel_scrapers_spark.operators.merge import episode_delta
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    old_counts = o.select(
+        F.col("o_orderkey").alias("series_id"),
+        (F.col("o_orderkey") % 4).alias("episode_count"),
+    )
+    current = li.groupBy(F.col("l_orderkey").alias("series_id")).agg(
+        F.count("*").alias("episodes_total")
+    )
+    return episode_delta(old_counts, current, key="series_id").select(
+        "series_id", "episodes_total", "old_count", "needs_update"
+    )
+
+
+def q_nested_assembly(spark, sf_dir):
+    """O12 nested assembly: child rows → deterministic per-parent string."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_quantity").cast("int").alias("q"),
+            )
+        )
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_episodes"),
+        F.array_join(
+            F.transform(
+                items,
+                lambda x: F.concat_ws(
+                    ":", x["ln"].cast("string"), x["q"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("episodes"),
+    )
+
+
+def q_integrity_manifest(spark, sf_dir):
+    """O24 md5 manifest over canonically-ordered group contents."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            )
+        ).alias("manifest_md5"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_event_type_decode(spark, sf_dir):
+    """O9 dict-decode via literal map (broadcast-join-free constant fold)."""
+    ev = _t(spark, sf_dir, "events")
+    label_map = F.create_map(
+        F.lit("view"), F.lit("View"), F.lit("click"), F.lit("Click"),
+        F.lit("purchase"), F.lit("Purchase"), F.lit("signup"), F.lit("Signup"),
+        F.lit("error"), F.lit("Error"),
+    )
+    weight_map = F.create_map(
+        F.lit("view"), F.lit(1), F.lit("click"), F.lit(2),
+        F.lit("purchase"), F.lit(5), F.lit("signup"), F.lit(3),
+        F.lit("error"), F.lit(0),
+    )
+    return (
+        ev.withColumn("label", F.element_at(label_map, F.col("event_type")))
+        .withColumn("weight", F.element_at(weight_map, F.col("event_type")))
+        .groupBy("event_type", "label")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("weight").cast("long")).alias("weight_total"),
+        )
+    )
+
+
+def q_url_category(spark, sf_dir):
+    """O21 URL-substring category classifier (TrendingScraper.py:74-81)."""
+    from no_fasel_scrapers_spark.functions.cleanups import url_category
+
+    d = _t(spark, sf_dir, "documents")
+    link = F.concat(
+        F.lit("https://w.test/"),
+        F.element_at(
+            F.array(
+                F.lit("%d9%81%d9%8a%d9%84%d9%85/x"),
+                F.lit("asian-episodes/x"),
+                F.lit("anime-episodes/x"),
+                F.lit("show/x"),
+            ),
+            (F.col("doc_id") % 4).cast("int") + 1,
+        ),
+    )
+    return d.select(
+        "doc_id", link.alias("link"), url_category(link).alias("category")
+    )
+
+
+def q_title_cleanups(spark, sf_dir):
+    """O8 scalar cleanups: clean_title (Common.py:257-272) +
+    clean_iframe_source (Common.py:360-364) as pure columns."""
+    from no_fasel_scrapers_spark.functions.cleanups import (
+        clean_iframe_source,
+        clean_title,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    raw_title = F.when(
+        F.col("p_partkey") % 3 > 0,
+        F.concat(
+            F.col("p_name"), F.lit(" "),
+            (F.lit(2000) + F.col("p_partkey") % 30).cast("string"),
+        ),
+    ).otherwise(F.concat(F.col("p_name"), F.lit(" part")))
+    src = F.when(
+        F.col("p_partkey") % 5 == 0, F.lit("https://cdn.test/plain")
+    ).otherwise(
+        F.concat(
+            F.lit("https://cdn.test/embed?id="),
+            F.col("p_partkey").cast("string"),
+            F.lit("&img="),
+            F.col("p_partkey").cast("string"),
+        )
+    )
+    return p.select(
+        "p_partkey",
+        clean_title(raw_title).alias("title"),
+        clean_iframe_source(src).alias("stream"),
+    )
+
+
+def q_normalized_title_join(spark, sf_dir):
+    """O20 normalized-key equi-join (the reference's 'fuzzy' match)."""
+    from no_fasel_scrapers_spark.functions.cleanups import normalized_title_key
+
+    p = _t(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_partkey").alias("pk_a"),
+        normalized_title_key(F.col("p_name")).alias("k"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("pk_b"),
+        normalized_title_key(
+            F.upper(F.replace(F.col("p_name"), F.lit(" "), F.lit("   ")))
+        ).alias("k"),
+    )
+    return a.join(b, "k").select("pk_a", "pk_b")
+
+
+def q_pagination_expand(spark, sf_dir):
+    """O4/O5 pagination extent → distributed page-range frontier rows."""
+    from no_fasel_scrapers_spark.operators.frontier import expand_pagination
+
+    n = _t(spark, sf_dir, "nation")
+    probes = [
+        {
+            "site": f"n{r.n_nationkey}",
+            "category": "cat",
+            "url_template": f"https://n{r.n_nationkey}.test/cat/page/{{p}}",
+            "last_page": r.n_nationkey % 5 + 1,
+            "depth": 0,
+            "priority": 0,
+        }
+        for r in n.select("n_nationkey").collect()
+    ]
+    out = expand_pagination(spark, probes)
+    return out.select("url", "site", "depth", "priority")
+
+
+def q_frontier_take_wave(spark, sf_dir):
+    """Frontier wave materialization: ORDER BY (priority, depth, key) LIMIT
+    budget → TakeOrderedAndProject, leftover = left_anti (north_rule)."""
+    from no_fasel_scrapers_spark.operators.frontier import take_wave
+
+    ev = _t(spark, sf_dir, "events")
+    frontier = ev.select(
+        F.col("event_id").alias("url_hash"),
+        (F.col("event_id") % 5).cast("int").alias("priority"),
+        (F.col("user_id") % 3).cast("int").alias("depth"),
+        "event_type",
+    )
+    wave, _leftover = take_wave(frontier, 500)
+    return wave.select("url_hash", "priority", "depth", "event_type")
+
+
+def q_robots_gate(spark, sf_dir):
+    """north_rule robots gating: broadcast robots ⋈ frontier, prefix filter."""
+    from no_fasel_scrapers_spark.operators.robots import apply_robots
+
+    d = _t(spark, sf_dir, "documents")
+    frontier = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 10).cast("string"),
+            F.lit(".test/d/"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 10).cast("string"), F.lit(".test")
+        ).alias("host"),
+    )
+    robots = spark.createDataFrame(
+        [
+            (f"h{k}.test", ["/d/0", "/d/1"] if k % 2 == 0 else ["/d/2"])
+            for k in range(10)
+        ],
+        "host string, disallow_prefixes array<string>",
+    )
+    allowed, _blocked = apply_robots(frontier, robots)
+    return allowed.select("doc_id", "host")
+
+
+def q_politeness_schedule(spark, sf_dir):
+    """north_rule per-host token-bucket schedule as a partitioned window."""
+    from no_fasel_scrapers_spark.operators.politeness import schedule_fetches
+
+    ev = _t(spark, sf_dir, "events")
+    wave = ev.select(
+        F.concat(
+            F.lit("h"), (F.col("user_id") % 20).cast("string"), F.lit(".test")
+        ).alias("host"),
+        F.lit(0).cast("int").alias("host_salt"),
+        F.col("event_id").alias("url_hash"),
+        (F.col("event_id") % 5).cast("int").alias("priority"),
+        (F.col("event_id") % 3).cast("int").alias("depth"),
+    )
+    robots = spark.range(20).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".test")).alias(
+            "host"
+        ),
+        ((F.col("id") + 1) * 10).alias("crawl_delay_ms"),
+    )
+    out = schedule_fetches(wave, robots, n_salts=1)
+    return out.select("url_hash", "host", "fetch_seq", "scheduled_ms")
+
+
+def q_seen_filter_dedup(spark, sf_dir):
+    """O10 at scale: bloom pre-filter + exact left_anti backstop must equal
+    the plain anti-join (zero false drops — the correctness contract)."""
+    from no_fasel_scrapers_spark.operators.seen_filter import (
+        build_filter_blobs,
+        dedup_against_seen,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    cand = ev.select(
+        "event_id",
+        F.xxhash64(
+            F.concat(F.lit("https://e.test/"), F.col("event_id").cast("string"))
+        ).alias("url_hash"),
+    )
+    seen = cand.filter(F.col("event_id") % 3 == 0).select("url_hash")
+    blobs = build_filter_blobs(seen, n_shards=16)
+    return dedup_against_seen(cand, seen, blobs, n_shards=16).select("event_id")
+
+
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization — the key everything hashes off (SURVEY §7.1-1)."""
+    from no_fasel_scrapers_spark.functions.canonical import (
+        canonicalize_url,
+        url_host,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTP://User:pw@WWW.Site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".TEST:80//a//b/"), F.col("doc_id").cast("string"),
+        F.lit("/?utm_source=x&b="), (F.col("doc_id") % 5).cast("string"),
+        F.lit("&a=1&ref=z#frag"),
+    )
+    return d.select(
+        "doc_id",
+        canonicalize_url(messy).alias("canonical"),
+        url_host(messy).alias("host"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data operators
+# ---------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup: hash-groupBy, lowest-id survivor (training-data op)."""
+    from no_fasel_scrapers_spark.operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.substring("text", 1, 16).alias("prefix")
+    )
+    return exact_dedup(d, text_col="prefix", id_col="doc_id")
+
+
+def q_text_stats(spark, sf_dir):
+    """Token counting, punct/stopword ratios, lang-id, quality — columnar."""
+    from no_fasel_scrapers_spark.operators.textstats import with_text_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return with_text_stats(d).select(
+        "doc_id",
+        "n_tokens_ws",
+        "n_tokens_bpe",
+        F.round("punct_ratio", 9).alias("punct_r"),
+        F.round("stopword_ratio", 9).alias("stop_r"),
+        F.col("lang_detected").alias("lang_detected"),
+        F.round("quality", 9).alias("quality_r"),
+    )
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard on adjacent-id candidate pairs."""
+    from no_fasel_scrapers_spark.operators.dedup import jaccard_verify
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b")
+    )
+    out = jaccard_verify(pairs, d, threshold=0.0)
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard_r")
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Windowed rollup (streaming-analog tumbling window, batch form)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00")
+    return ev.groupBy(F.col("event_type"), hour.alias("hour")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
+
+
+def q_media_metadata(spark, sf_dir):
+    """Multimodal plumbing: binary payload → typed metadata struct.
+
+    Payloads are generated by the deterministic fake codec (the real decode
+    is stubbed — no image libs in this container); the oracle recomputes the
+    header fields arithmetically, so the full binary round-trip through
+    mapInPandas is verified."""
+    import pandas as pd
+
+    from no_fasel_scrapers_spark.operators.multimodal import (
+        fake_encode,
+        with_media_metadata,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame({"doc_id": pdf["doc_id"]})
+            out["payload"] = [
+                fake_encode(
+                    16 + int(i) % 16, 8 + int(i) % 8, 1 + int(i) % 3,
+                    int(i) % 251,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield out
+
+    media = d.mapInPandas(_gen, schema="doc_id long, payload binary")
+    return with_media_metadata(media).select(
+        "doc_id", "width", "height", "channels", "n_bytes", "codec"
+    )
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    """Exact cosine top-k: broadcast query batch, one corpus pass."""
+    from no_fasel_scrapers_spark.operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    out = brute_force_topk(corpus, queries, k=10)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
+def q_cosine_pairs_exact(spark, sf_dir):
+    """Embedding near-dup, exact path: all-pairs cosine over a bounded slice
+    (the LSH-bucketed variant is the scale path, rows-only below)."""
+    from no_fasel_scrapers_spark.operators.dedup import cosine_sim
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= 0.2)
+    )
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
+
+
+# ---- rows-only (xxhash-seeded or engine-e2e; no SQL twin) -----------------
+
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup dedup (shingle→minhash→band→bucket-join).
+    xxhash64 hash family → no DuckDB twin; correctness is pinned by
+    tests/test_golden.py property tests instead."""
+    from no_fasel_scrapers_spark.operators.dedup import minhash_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return minhash_dedup(d).select("doc_id", "lang")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup: 16-bit chunk blocking + bit_count verify."""
+    from no_fasel_scrapers_spark.operators.dedup import (
+        simhash_near_pairs,
+        with_simhash,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_near_pairs(with_simhash(d), max_hamming=16)
+
+
+def q_ivf_ann(spark, sf_dir):
+    """IVF/LSH-bucketed ANN: deterministic hyperplane cells, multi-probe."""
+    from no_fasel_scrapers_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("query_vec"),
+    )
+    return ivf_topk(corpus, queries, k=5, n_planes=6)
+
+
+def q_embedding_near_dup_lsh(spark, sf_dir):
+    """Cosine near-dup via hyperplane-LSH buckets + exact verify (scale
+    path: bucket join replaces the O(n²) cross join)."""
+    from no_fasel_scrapers_spark.operators.dedup import embedding_near_dup_pairs
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = embedding_near_dup_pairs(e, threshold=0.8, n_planes=6)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting: whole-doc xxhash64 + shingle winnow."""
+    from no_fasel_scrapers_spark.operators.textstats import (
+        doc_fingerprint,
+        winnow_fingerprint,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        winnow_fingerprint(F.col("text")).alias("winnow"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal feature extraction: binary → fixed-length array<float>
+    (byte-histogram stand-in for a real embedding; numpy per Arrow batch)."""
+    import pandas as pd
+
+    from no_fasel_scrapers_spark.operators.multimodal import (
+        extract_features,
+        fake_encode,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame({"doc_id": pdf["doc_id"]})
+            out["payload"] = [
+                fake_encode(16 + int(i) % 16, 8 + int(i) % 8, 1, int(i) % 251)
+                for i in pdf["doc_id"]
+            ]
+            yield out
+
+    media = d.mapInPandas(_gen, schema="doc_id long, payload binary")
+    out = extract_features(media)
+    return out.select(
+        "doc_id",
+        F.size("features").alias("n_bins"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+def q_crawl_e2e(spark, sf_dir):
+    """The crawl engine end-to-end on the deterministic synthetic site
+    fixture: frontier waves, robots, bloom dedup, politeness, extraction.
+    Golden byte-parity and ordering-oracle equivalence are asserted in
+    tests/; here the driver smoke-checks the rollup shape."""
+    import tempfile
+
+    from no_fasel_scrapers_spark.plans.crawl import run_crawl
+    from no_fasel_scrapers_spark.sources.catalog import Catalog
+    from no_fasel_scrapers_spark.sources.fixture import Fixture, FixtureConfig
+
+    fx = Fixture(FixtureConfig())
+    cat = Catalog(tempfile.mkdtemp(prefix="nfs_crawl_entry_"))
+    res = run_crawl(
+        spark,
+        fx.pages_df(spark),
+        fx.seeds_df(spark),
+        fx.robots_df(spark),
+        cat,
+    )
+    return (
+        res.extracted.groupBy("site", "role")
+        .agg(F.count("*").alias("n_pages"))
+        .orderBy("site", "role")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_orders_per_customer": q_top_orders_per_customer,
+        "customers_without_orders": q_customers_without_orders,
+        "union_precedence_old_wins": q_union_precedence_old_wins,
+        "episode_delta": q_episode_delta,
+        "nested_assembly": q_nested_assembly,
+        "integrity_manifest": q_integrity_manifest,
+        "event_type_decode": q_event_type_decode,
+        "url_category": q_url_category,
+        "title_cleanups": q_title_cleanups,
+        "normalized_title_join": q_normalized_title_join,
+        "pagination_expand": q_pagination_expand,
+        "frontier_take_wave": q_frontier_take_wave,
+        "robots_gate": q_robots_gate,
+        "politeness_schedule": q_politeness_schedule,
+        "seen_filter_dedup": q_seen_filter_dedup,
+        "url_canonicalize": q_url_canonicalize,
+        "exact_dedup": q_exact_dedup,
+        "text_stats": q_text_stats,
+        "ngram_jaccard": q_ngram_jaccard,
+        "events_hourly": q_events_hourly,
+        "media_metadata": q_media_metadata,
+        "ann_bruteforce": q_ann_bruteforce,
+        "cosine_pairs_exact": q_cosine_pairs_exact,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_pairs": q_simhash_pairs,
+        "ivf_ann": q_ivf_ann,
+        "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "doc_fingerprints": q_doc_fingerprints,
+        "media_features": q_media_features,
+        "crawl_e2e": q_crawl_e2e,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+                   CAST(COUNT(*) AS BIGINT) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rank
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC
+                       ) AS rnk
+                FROM orders
+            ) WHERE rnk <= 3
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "union_precedence_old_wins": """
+            SELECT o_orderkey, src, o_totalprice FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY o_orderkey
+                    ORDER BY CASE src WHEN 'old' THEN 0 ELSE 1 END
+                ) AS rn
+                FROM (
+                    SELECT o_orderkey, 'old' AS src, o_totalprice
+                    FROM orders WHERE o_orderkey % 2 = 0
+                    UNION ALL
+                    SELECT o_orderkey, 'new' AS src, o_totalprice
+                    FROM orders WHERE o_orderkey % 3 = 0
+                )
+            ) WHERE rn = 1
+        """,
+        "episode_delta": """
+            WITH cur AS (
+                SELECT l_orderkey AS series_id,
+                       CAST(COUNT(*) AS BIGINT) AS episodes_total
+                FROM lineitem GROUP BY l_orderkey
+            ), old AS (
+                SELECT o_orderkey AS series_id,
+                       CAST(o_orderkey % 4 AS BIGINT) AS old_count
+                FROM orders
+            )
+            SELECT c.series_id, c.episodes_total,
+                   COALESCE(o.old_count, 0) AS old_count,
+                   c.episodes_total <> COALESCE(o.old_count, 0) AS needs_update
+            FROM cur c LEFT JOIN old o USING (series_id)
+        """,
+        "nested_assembly": """
+            SELECT l_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_episodes,
+                   string_agg(
+                       CAST(l_linenumber AS VARCHAR) || ':' ||
+                       CAST(CAST(l_quantity AS INTEGER) AS VARCHAR),
+                       ',' ORDER BY l_linenumber, CAST(l_quantity AS INTEGER)
+                   ) AS episodes
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "integrity_manifest": """
+            SELECT o_orderpriority,
+                   md5(string_agg(CAST(o_orderkey AS VARCHAR), ','
+                                  ORDER BY o_orderkey)) AS manifest_md5,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "event_type_decode": """
+            SELECT event_type,
+                   CASE event_type WHEN 'view' THEN 'View' WHEN 'click' THEN 'Click'
+                        WHEN 'purchase' THEN 'Purchase' WHEN 'signup' THEN 'Signup'
+                        WHEN 'error' THEN 'Error' END AS label,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                        WHEN 'purchase' THEN 5 WHEN 'signup' THEN 3
+                        WHEN 'error' THEN 0 END) AS BIGINT) AS weight_total
+            FROM events GROUP BY event_type
+        """,
+        "url_category": """
+            SELECT doc_id,
+                   'https://w.test/' || CASE CAST(doc_id % 4 AS INTEGER)
+                       WHEN 0 THEN '%d9%81%d9%8a%d9%84%d9%85/x'
+                       WHEN 1 THEN 'asian-episodes/x'
+                       WHEN 2 THEN 'anime-episodes/x'
+                       ELSE 'show/x' END AS link,
+                   CASE CAST(doc_id % 4 AS INTEGER)
+                       WHEN 0 THEN 'movies' WHEN 1 THEN 'asian-series'
+                       WHEN 2 THEN 'anime' ELSE 'series' END AS category
+            FROM documents
+        """,
+        "title_cleanups": """
+            SELECT p_partkey,
+                   CASE WHEN p_partkey % 3 > 0 THEN p_name
+                        ELSE p_name || ' part' END AS title,
+                   CASE WHEN p_partkey % 5 = 0 THEN ''
+                        ELSE CAST(p_partkey AS VARCHAR) END AS stream
+            FROM part
+        """,
+        "normalized_title_join": """
+            WITH a AS (
+                SELECT p_partkey AS pk_a,
+                       regexp_replace(lower(p_name), '\\s+', '', 'g') AS k
+                FROM part
+            ), b AS (
+                SELECT p_partkey AS pk_b,
+                       regexp_replace(lower(upper(replace(p_name, ' ', '   '))),
+                                      '\\s+', '', 'g') AS k
+                FROM part
+            )
+            SELECT pk_a, pk_b FROM a JOIN b USING (k)
+        """,
+        "pagination_expand": """
+            SELECT 'https://n' || CAST(n_nationkey AS VARCHAR) ||
+                   '.test/cat/page/' || CAST(page AS VARCHAR) AS url,
+                   'n' || CAST(n_nationkey AS VARCHAR) AS site,
+                   CAST(1 AS INTEGER) AS depth,
+                   CAST(0 AS INTEGER) AS priority
+            FROM (
+                SELECT n_nationkey,
+                       unnest(generate_series(1, CAST(n_nationkey % 5 AS BIGINT) + 1)) AS page
+                FROM nation
+            )
+        """,
+        "frontier_take_wave": """
+            SELECT event_id AS url_hash,
+                   CAST(event_id % 5 AS INTEGER) AS priority,
+                   CAST(user_id % 3 AS INTEGER) AS depth,
+                   event_type
+            FROM events
+            ORDER BY priority, depth, url_hash
+            LIMIT 500
+        """,
+        "robots_gate": """
+            SELECT doc_id,
+                   'h' || CAST(doc_id % 10 AS VARCHAR) || '.test' AS host
+            FROM documents
+            WHERE NOT (
+                (doc_id % 2 = 0 AND doc_id % 7 IN (0, 1))
+                OR (doc_id % 2 = 1 AND doc_id % 7 = 2)
+            )
+        """,
+        "politeness_schedule": """
+            SELECT event_id AS url_hash,
+                   'h' || CAST(user_id % 20 AS VARCHAR) || '.test' AS host,
+                   CAST(row_number() OVER (
+                       PARTITION BY user_id % 20
+                       ORDER BY event_id % 5, event_id % 3, event_id
+                   ) - 1 AS INTEGER) AS fetch_seq,
+                   CAST((row_number() OVER (
+                       PARTITION BY user_id % 20
+                       ORDER BY event_id % 5, event_id % 3, event_id
+                   ) - 1) * (user_id % 20 + 1) * 10 AS BIGINT) AS scheduled_ms
+            FROM events
+        """,
+        "seen_filter_dedup": """
+            SELECT event_id FROM events WHERE event_id % 3 <> 0
+        """,
+        "url_canonicalize": """
+            SELECT doc_id,
+                   'http://www.site' || CAST(doc_id % 7 AS VARCHAR) ||
+                   '.test/a/b/' || CAST(doc_id AS VARCHAR) ||
+                   '?a=1&b=' || CAST(doc_id % 5 AS VARCHAR) AS canonical,
+                   'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS host
+            FROM documents
+        """,
+        "exact_dedup": """
+            SELECT doc_id, source, prefix FROM (
+                SELECT doc_id, source, substring(text, 1, 16) AS prefix,
+                       row_number() OVER (
+                           PARTITION BY md5(substring(text, 1, 16))
+                           ORDER BY doc_id ASC
+                       ) AS rn
+                FROM documents
+            ) WHERE rn = 1
+        """,
+        "text_stats": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens_ws,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens_bpe,
+                       CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) AS punct,
+                       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x IN ('the','a','an','and','or','of','to','in','is','it','for',
+                                       'on','with','as','at','by','be','this','that','from')))
+                            AS DOUBLE)
+                       / len(string_split_regex(trim(text), '\\s+')) AS stop,
+                       CAST(length(text) AS DOUBLE) AS n
+                FROM documents
+            )
+            SELECT doc_id, n_tokens_ws, n_tokens_bpe,
+                   round(punct, 9) AS punct_r,
+                   round(stop, 9) AS stop_r,
+                   CASE WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0 AND stop >= 0.05 THEN 'en'
+                        WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0 THEN 'latin-other'
+                        ELSE 'unknown' END AS lang_detected,
+                   round(least(n / 500.0, 1.0) * 0.4
+                         + greatest(0.0, 1.0 - punct * 4.0) * 0.3
+                         + least(stop * 5.0, 1.0) * 0.3, 9) AS quality_r
+            FROM t
+        """,
+        "ngram_jaccard": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(
+                               len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 1)),
+                           i -> array_to_string(
+                               (string_split_regex(trim(lower(text)), '\\s+'))[i:i+2], ' ')
+                       )) AS grams
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(
+                       CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0
+                            THEN 1.0
+                            ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                                 / len(list_distinct(list_concat(a.grams, b.grams)))
+                       END, 6) AS jaccard_r
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "media_metadata": """
+            SELECT doc_id,
+                   CAST(16 + doc_id % 16 AS INTEGER) AS width,
+                   CAST(8 + doc_id % 8 AS INTEGER) AS height,
+                   CAST(1 + doc_id % 3 AS INTEGER) AS channels,
+                   CAST(9 + (16 + doc_id % 16) * (8 + doc_id % 8) * (1 + doc_id % 3) AS BIGINT) AS n_bytes,
+                   'nfsi-fake' AS codec
+            FROM documents
+        """,
+        "ann_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+                FROM embeddings e, q
+            )
+            SELECT query_id, vec_id, CAST(rn AS INTEGER) AS rank,
+                   round(c, 4) AS cosine_r
+            FROM (
+                SELECT query_id, vec_id, c,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY c DESC, vec_id ASC
+                       ) AS rn
+                FROM s
+            ) WHERE rn <= 10
+        """,
+        "cosine_pairs_exact": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 4) AS cosine_r
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 100 AND b.vec_id < 100
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.2
+        """,
+    }

@@ -1,0 +1,245 @@
+"""Benchmark harness — prints ONE JSON line with the round's numbers.
+
+Components:
+1. ``extract_throughput`` — the headline north metric: pages fetched +
+   extracted per second.  A deterministic fasel-detail pages table (written
+   once to parquet — the offline "fetch" universe) is read back, URL-keyed
+   (canonicalize + xxhash64 + host/salt, all JVM columns), pushed through the
+   Arrow-batched extraction UDF, and the cleaned record fields are assembled
+   as pure columns.  Pages/sec = n_pages / wall.
+2. ``crawl_e2e`` — the full engine (frontier waves, robots, bloom dedup,
+   politeness schedule, checkpointing) on the synthetic-site fixture.
+3. Per-query wall times for the headline ``__spark_entry__`` queries at
+   ``$SPARK_GRAFT_SF_DIR``.
+
+Modes:
+    python bench.py             # one JSON line (driver contract)
+    python bench.py --scaling   # same extract job at local[N/4] and
+                                # local[N]: throughput at both + efficiency
+                                # (sandbox evidence for the north_rule's
+                                # two-cluster-size criterion)
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_PAGES (default 120000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_orders_per_customer",
+    "nested_assembly",
+    "seen_filter_dedup",
+    "politeness_schedule",
+    "exact_dedup",
+    "text_stats",
+    "minhash_dedup",
+    "simhash_pairs",
+    "ann_bruteforce",
+    "events_hourly",
+    "media_metadata",
+]
+
+
+def _spark(cpus: int):
+    from no_fasel_scrapers_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench-local{cpus}",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(max(cpus, 8)),
+            # The bench pages table compresses ~40× (templated HTML), so
+            # default 128m splits would pack the whole table into a handful
+            # of tasks and starve the executor slots; split small so the
+            # *decompressed* work per task stays balanced.
+            "spark.sql.files.maxPartitionBytes": "1m",
+            "spark.sql.files.openCostInBytes": "131072",
+        },
+    )
+
+
+def _materialize(df) -> None:
+    """Force full execution without driver collect (noop sink)."""
+    df.write.mode("overwrite").format("noop").save()
+
+
+def prepare_pages(spark, path: str, n: int) -> None:
+    """Write the bench pages table once (the offline fetch universe)."""
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return
+    from no_fasel_scrapers_spark.sources.pagegen import gen_pages
+
+    gen_pages(spark, n, partitions=256).write.mode("overwrite").parquet(path)
+
+
+def extract_job(spark, pages_path: str):
+    """read → URL keys (JVM) → Arrow extract → columnar record assembly."""
+    from no_fasel_scrapers_spark.functions.canonical import with_url_keys
+    from no_fasel_scrapers_spark.functions.cleanups import (
+        clean_iframe_source,
+        py_capitalize,
+    )
+    from no_fasel_scrapers_spark.functions.extract import (
+        EXTRACT_SCHEMA,
+        extract_map_in_pandas,
+    )
+
+    pages = spark.read.parquet(pages_path)
+    keyed = with_url_keys(pages).select("url", "url_hash", "host_salt", "html")
+    extracted = (
+        keyed.withColumn("role", F.lit("detail"))
+        .select("url", "role", "html")
+        .mapInPandas(extract_map_in_pandas, schema=EXTRACT_SCHEMA)
+    )
+    records = extracted.select(
+        "url",
+        F.col("fields.item_id").alias("item_id"),
+        F.coalesce(F.col("fields.fmt"), F.lit("N/A")).alias("fmt"),
+        clean_iframe_source(F.col("fields.iframe_src")).alias("source"),
+        F.transform(F.col("fields.genres"), py_capitalize).alias("genres"),
+        F.length("text").alias("text_len"),
+    )
+    return records
+
+
+def bench_extract(spark, pages_path: str, n: int) -> float:
+    t0 = time.time()
+    _materialize(extract_job(spark, pages_path))
+    return time.time() - t0
+
+
+def bench_crawl(spark) -> tuple[float, int]:
+    from no_fasel_scrapers_spark.plans.crawl import run_crawl
+    from no_fasel_scrapers_spark.sources.catalog import Catalog
+    from no_fasel_scrapers_spark.sources.fixture import Fixture, FixtureConfig
+
+    fx = Fixture(FixtureConfig())
+    tmp = tempfile.mkdtemp(prefix="nfs_bench_crawl_")
+    try:
+        t0 = time.time()
+        res = run_crawl(
+            spark, fx.pages_df(spark), fx.seeds_df(spark), fx.robots_df(spark),
+            Catalog(tmp),
+        )
+        n = res.extracted.count()
+        return time.time() - t0, n
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _materialize(qs[name](spark, SF_DIR))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    pages_path = os.path.join(
+        tempfile.gettempdir(), f"nfs_bench_pages_{N_PAGES}"
+    )
+
+    if "--extract-once" in sys.argv:
+        # Internal: one measured extract run at a given parallelism
+        # (spawned by --scaling inside a taskset CPU set).
+        cpus = int(sys.argv[sys.argv.index("--extract-once") + 1])
+        spark = _spark(cpus)
+        bench_extract(spark, pages_path, N_PAGES)  # warmup (JIT + workers)
+        secs = min(bench_extract(spark, pages_path, N_PAGES) for _ in range(2))
+        spark.stop()
+        print(json.dumps({"sec": secs}))
+        return
+
+    if "--scaling" in sys.argv:
+        # Same job, same input, two parallelism levels (N and N/4 cores) —
+        # the sandbox stand-in for N vs 4N executors.  Each level runs in
+        # its own process pinned to a CPU set (taskset), so the small run
+        # behaves like a genuinely smaller machine: without pinning, the
+        # local[N/4] JVM's GC/shuffle/Arrow helper threads overflow onto
+        # the idle cores and inflate the small-cluster baseline.
+        import subprocess
+
+        spark = _spark(CPUS)
+        prepare_pages(spark, pages_path, N_PAGES)
+        spark.stop()
+
+        results = {}
+        for cpus in (CPUS, max(CPUS // 4, 1)):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--extract-once", str(cpus)]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            env = dict(os.environ, SPARK_GRAFT_BENCH_PAGES=str(N_PAGES))
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, env=env, check=True
+            )
+            secs = json.loads(out.stdout.strip().splitlines()[-1])["sec"]
+            results[cpus] = {
+                "sec": round(secs, 2),
+                "pages_per_sec": round(N_PAGES / secs, 1),
+            }
+        hi, lo = CPUS, max(CPUS // 4, 1)
+        eff = results[hi]["pages_per_sec"] / (
+            results[lo]["pages_per_sec"] * (hi / lo)
+        )
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": round(eff, 3),
+            "unit": "ratio",
+            "n_pages": N_PAGES,
+            "pinned": bool(shutil.which("taskset")),
+            "levels": {f"local[{k}]": v for k, v in results.items()},
+        }))
+        return
+
+    spark = _spark(CPUS)
+    prepare_pages(spark, pages_path, N_PAGES)
+
+    extract_sec = bench_extract(spark, pages_path, N_PAGES)
+    crawl_sec, crawl_pages = bench_crawl(spark)
+    queries = run_queries(spark)
+
+    total = round(
+        extract_sec + crawl_sec + sum(queries.values()), 3
+    )
+    queries["extract_120k_pages"] = round(extract_sec, 3)
+    queries["crawl_e2e_fixture"] = round(crawl_sec, 3)
+    print(json.dumps({
+        "metric": "end_to_end_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+        "pages_per_sec": round(N_PAGES / extract_sec, 1),
+        "crawl_pages_per_sec": round(crawl_pages / crawl_sec, 1),
+        "n_pages": N_PAGES,
+        "cpus": CPUS,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -62,27 +62,43 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def minhash_signature(shingles: Column, k: int = 16) -> Column:
-    """k-permutation minhash via seeded xxhash64 — array<long> of length k."""
+def minhash_signature(gram_hashes: Column, k: int = 16) -> Column:
+    """k-permutation minhash over pre-hashed shingles — array<long>, len k.
+
+    Takes an ``array<long>`` of shingle hashes (NOT the string shingles):
+    string hashing is the expensive step, so it happens exactly once
+    upstream; each of the k permutations is a cheap long→long rehash
+    (``xxhash64(seed_i, h)``) + ``array_min``.  Callers must materialize
+    ``gram_hashes`` as its own projection first — referencing a computed
+    expression here k times would re-evaluate it k times (Catalyst does not
+    CSE through lambda bodies; measured 8× slowdown)."""
+    # NB: the lambda must take exactly ONE parameter — pyspark treats a
+    # 2-arg lambda as (element, index) and silently rebinds the second
+    # argument, so `lambda h, i=i:` would hash the array POSITION instead
+    # of the permutation seed (collapsing all k permutations into one).
+    def perm(i: int):
+        return lambda h: F.xxhash64(F.lit(i), h)
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, i=i: F.xxhash64(F.concat(s, F.lit(f"#seed{i}"))),
-                )
-            )
-            for i in range(k)
-        ]
+        *[F.array_min(F.transform(gram_hashes, perm(i))) for i in range(k)]
     )
 
 
 def with_minhash(
     df: DataFrame, text_col: str = "text", k: int = 16, ngram: int = 3
 ) -> DataFrame:
-    return df.withColumn(
-        "minhash", minhash_signature(word_ngrams(F.col(text_col), ngram), k)
-    )
+    """Attach ``minhash`` (array<long>, length k).
+
+    Three chained projections, deliberately: grams → gram hashes → k mins.
+    Each intermediate is a bound attribute, so the gram construction and the
+    string hashing run once per row regardless of k."""
+    g = df.withColumn("__grams", word_ngrams(F.col(text_col), ngram))
+    hashed = g.withColumn(
+        "__gh", F.transform(F.col("__grams"), lambda s: F.xxhash64(s))
+    ).drop("__grams")
+    return hashed.withColumn(
+        "minhash", minhash_signature(F.col("__gh"), k)
+    ).drop("__gh")
 
 
 def lsh_candidate_pairs(
@@ -214,7 +230,8 @@ def with_simhash(
                 h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
                 # bits matrix: (n_tokens, 64) of 0/1 → votes
                 bits = (h[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                votes = bits.sum(axis=0) * 2 - len(h)  # (+1/-1 summed)
+                # signed accumulation — uint64 would underflow on sums < len/2
+                votes = bits.sum(axis=0).astype(np.int64) * 2 - len(h)
                 sim = np.uint64(0)
                 sim_bits = (votes > 0).astype(np.uint64)
                 sim = (sim_bits << bit_idx).sum(dtype=np.uint64)
@@ -229,11 +246,16 @@ def with_simhash(
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on 4 × 16-bit chunks (any pair within
     hamming≤3 shares ≥1 exact chunk), verify hamming distance with
-    bit_count (JVM)."""
+    bit_count (JVM).  ``max_bucket`` caps degenerate chunk buckets (e.g.
+    boilerplate corpora where one chunk value dominates) before the
+    self-join — the same skew guard as LSH banding."""
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("simhash"), i * 16).bitwiseAND(F.lit(0xFFFF))
@@ -244,6 +266,9 @@ def simhash_near_pairs(
         F.col(id_col).alias("id"), F.col("simhash"),
         F.posexplode(chunks).alias("chunk_no", "chunk"),
     )
+    blocked = blocked.withColumn(
+        "__bn", F.count("*").over(Window.partitionBy("chunk_no", "chunk"))
+    ).filter(F.col("__bn") <= max_bucket).drop("__bn")
     a = blocked.select("chunk_no", "chunk", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = blocked.select("chunk_no", "chunk", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     pairs = (
@@ -264,6 +289,21 @@ def simhash_near_pairs(
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
+
+def plane_weight(p: int):
+    """Single-arg lambda producing hyperplane-``p``'s weight for coordinate
+    ``i``: deterministic xxhash64 of "plane{p}:{i}" mapped to [-1, 1).
+
+    Must stay a ONE-parameter lambda (see minhash_signature note: pyspark
+    rebinds a second lambda parameter to the array index)."""
+    prefix = F.lit(f"plane{p}:")
+    return lambda i: (
+        F.pmod(F.xxhash64(F.concat(prefix, i.cast("string"))), F.lit(2000))
+        .cast("double")
+        / F.lit(1000.0)
+        - F.lit(1.0)
+    )
+
 
 def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity of two float arrays — zip_with + aggregate, JVM."""
@@ -300,21 +340,7 @@ def embedding_near_dup_pairs(
                 F.aggregate(
                     F.zip_with(
                         F.col(vec_col),
-                        F.transform(
-                            dim_idx,
-                            lambda i, p=p: (
-                                F.pmod(
-                                    F.xxhash64(
-                                        F.concat(
-                                            F.lit(f"plane{p}:"), i.cast("string")
-                                        )
-                                    ),
-                                    F.lit(2000),
-                                ).cast("double")
-                                / F.lit(1000.0)
-                                - F.lit(1.0)
-                            ),
-                        ),
+                        F.transform(dim_idx, plane_weight(p)),
                         lambda x, w: x * w,
                     ),
                     F.lit(0.0),

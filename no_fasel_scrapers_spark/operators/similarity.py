@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .dedup import cosine_sim
+from .dedup import cosine_sim, plane_weight
 
 
 def _norm(v: Column) -> Column:
@@ -56,17 +56,7 @@ def _cell_bits(vec: Column, n_planes: int) -> list[Column]:
     dim_idx = F.sequence(F.lit(0), F.size(vec) - 1)
     bits = []
     for p in range(n_planes):
-        w = F.transform(
-            dim_idx,
-            lambda i, p=p: (
-                F.pmod(
-                    F.xxhash64(F.concat(F.lit(f"plane{p}:"), i.cast("string"))),
-                    F.lit(2000),
-                ).cast("double")
-                / F.lit(1000.0)
-                - F.lit(1.0)
-            ),
-        )
+        w = F.transform(dim_idx, plane_weight(p))
         dot = F.aggregate(
             F.zip_with(vec, w, lambda x, ww: x * ww), F.lit(0.0),
             lambda acc, v: acc + v,

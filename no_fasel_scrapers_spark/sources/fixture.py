@@ -229,6 +229,27 @@ def fasel_image(i: int, item_id: str) -> str:
 # The fixture
 # ---------------------------------------------------------------------------
 
+def fasel_detail_common(h: H, item_id: str, fmt: str | None, genres) -> None:
+    """Shared fasel detail-page body (id marker, format, genres) — also used
+    by the distributed bench generator (sources/pagegen.py)."""
+    h.open("div", class_="meta")
+    h.open("span")
+    h.leaf("i", None, class_="fas fa-dot-circle")
+    h.text(f" رقم : #{item_id} ")
+    h.close("span")
+    h.close("div")
+    if fmt is not None:
+        h.open("div", class_="fmt")
+        h.leaf("i", None, class_="fas fa-play-circle")
+        h.leaf("span", fmt)
+        h.close("div")
+    h.open("div", class_="genres")
+    h.leaf("i", None, class_="far fa-folders")
+    for g in genres:
+        h.leaf("a", g.capitalize(), href=f"https://fasel.test/genre/{g}")
+    h.close("div")
+
+
 class Fixture:
     """All generated rows, as plain dict lists (wrap with spark.createDataFrame)."""
 
@@ -306,22 +327,7 @@ class Fixture:
         return render
 
     def _fasel_detail_common(self, h: H, item_id: str, fmt: str | None, genres):
-        h.open("div", class_="meta")
-        h.open("span")
-        h.leaf("i", None, class_="fas fa-dot-circle")
-        h.text(f" رقم : #{item_id} ")
-        h.close("span")
-        h.close("div")
-        if fmt is not None:
-            h.open("div", class_="fmt")
-            h.leaf("i", None, class_="fas fa-play-circle")
-            h.leaf("span", fmt)
-            h.close("div")
-        h.open("div", class_="genres")
-        h.leaf("i", None, class_="far fa-folders")
-        for g in genres:
-            h.leaf("a", g.capitalize(), href=f"https://fasel.test/genre/{g}")
-        h.close("div")
+        fasel_detail_common(h, item_id, fmt, genres)
 
     def _build_fasel(self):
         host = "fasel.test"

@@ -1,0 +1,262 @@
+"""Tests for the training-data operator families: dedup (exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine), ANN search, text stats, and
+multimodal plumbing — planted duplicates + plain-Python/numpy oracles."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from no_fasel_scrapers_spark.operators.dedup import (
+    cosine_sim,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    simhash_near_pairs,
+    with_minhash,
+    with_simhash,
+)
+from no_fasel_scrapers_spark.operators.multimodal import (
+    decode_header,
+    extract_features,
+    fake_encode,
+    resize_stub,
+    with_media_metadata,
+)
+from no_fasel_scrapers_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from no_fasel_scrapers_spark.operators.textstats import with_text_stats
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far into the "
+    "green forest to find a quiet river with cold clear water flowing by"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                               # exact dup of 0
+        (2, BASE.replace("river", "stream")),    # near dup of 0
+        (3, "completely different text about spark dataframes and shuffles "
+            "partitions joins aggregations windows and catalyst plans"),
+        (4, "yet another unrelated document mentioning parquet files arrow "
+            "batches pandas udfs and vectorized execution engines today"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_lowest_id(spark, docs):
+    out = exact_dedup(docs).select("doc_id").toPandas()["doc_id"].tolist()
+    assert sorted(out) == [0, 2, 3, 4]  # doc 1 (exact dup of 0) dropped
+
+
+def test_lsh_candidates_cover_near_dups(spark, docs):
+    # bands=8 (r=2) — the high-recall banding config for short docs:
+    # P(candidate | jaccard≈0.8) = 1-(1-0.8²)^8 ≈ 0.9996
+    sigs = with_minhash(docs)
+    pairs = lsh_candidate_pairs(sigs, bands=8)
+    got = {tuple(r) for r in pairs.select("id_a", "id_b").collect()}
+    assert (0, 1) in got  # identical docs always share every band
+    assert (0, 2) in got or (1, 2) in got  # near dup lands in ≥1 band
+
+
+def test_jaccard_verify_matches_python(spark, docs):
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "id_a long, id_b long"
+    )
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_verify(pairs, docs, threshold=0.0).collect()
+    }
+
+    def grams(t):
+        toks = t.lower().split()
+        return {
+            " ".join(toks[i : i + 3])
+            for i in range(max(len(toks) - 2, 1))
+        }
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for (a, b), got in out.items():
+        ga, gb = grams(texts[a]), grams(texts[b])
+        exp = len(ga & gb) / len(ga | gb)
+        assert got == pytest.approx(exp, abs=1e-12), (a, b)
+    assert out[(0, 1)] == 1.0
+    assert (0, 3) not in out or out.get((0, 3), 0.0) < 0.05
+
+
+def test_minhash_dedup_drops_near_dups_keeps_distinct(spark, docs):
+    out = minhash_dedup(docs, threshold=0.5, bands=8).select("doc_id")
+    kept = sorted(r.doc_id for r in out.collect())
+    assert 0 in kept and 3 in kept and 4 in kept
+    assert 1 not in kept  # exact dup dropped
+    assert 2 not in kept  # near dup (jaccard >> 0.5) dropped
+
+
+def test_simhash_identical_and_near(spark, docs):
+    sh = {r.doc_id: r.simhash for r in with_simhash(docs).collect()}
+    assert sh[0] == sh[1]
+    ham_near = bin((sh[0] ^ sh[2]) & (2**64 - 1)).count("1")
+    ham_far = bin((sh[0] ^ sh[3]) & (2**64 - 1)).count("1")
+    assert ham_near < ham_far
+    pairs = simhash_near_pairs(with_simhash(docs), max_hamming=ham_near)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(0, 1)] == 0
+    assert all(h <= ham_near for h in got.values())
+
+
+# ---------------------------------------------------------------------------
+# embeddings
+# ---------------------------------------------------------------------------
+
+def _vec_rows(n=40, dim=8, seed=7):
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n, dim)
+    v[1] = v[0]                      # planted exact dup
+    v[2] = v[0] + rng.randn(dim) * 0.01   # planted near dup
+    return [(i, [float(x) for x in v[i]]) for i in range(n)], v
+
+
+def test_cosine_sim_exact(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 4.0]),
+         ([0.0, 0.0], [1.0, 1.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r[0] for r in df.select(cosine_sim(F.col("a"), F.col("b"))).collect()]
+    assert got[0] == pytest.approx(0.0)
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == 0.0  # zero-norm guard
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    rows, v = _vec_rows()
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        rows[:3], "query_id long, query_vec array<double>"
+    )
+    out = brute_force_topk(corpus, queries, k=5)
+    got = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine) for r in out.collect()
+    }
+    norm = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(3):
+        order = sorted(
+            range(len(v)), key=lambda j: (-round(sims[q, j], 12), j)
+        )[:5]
+        for rank, j in enumerate(order, start=1):
+            vid, cos = got[(q, rank)]
+            assert vid == j, (q, rank)
+            assert cos == pytest.approx(sims[q, j], abs=1e-9)
+
+
+def test_ivf_topk_subset_of_bruteforce_and_finds_self(spark):
+    rows, _ = _vec_rows()
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        rows[:3], "query_id long, query_vec array<double>"
+    )
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(corpus, queries, k=40).collect()
+    }
+    approx = ivf_topk(corpus, queries, k=5, n_planes=4)
+    for r in approx.collect():
+        assert (r.query_id, r.vec_id) in exact
+    tops = {r.query_id: r.vec_id for r in approx.filter("rank = 1").collect()}
+    # own cell is always probed → self (or its exact duplicate, which ties
+    # at cosine 1.0 and wins the vec_id tie-break) is rank 1
+    assert tops[0] == 0
+    assert tops[1] == 0  # vec 1 == vec 0; tie broken by lower vec_id
+    assert tops[2] == 2
+
+
+def test_embedding_near_dup_lsh_finds_planted(spark):
+    rows, _ = _vec_rows()
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(df, threshold=0.99, n_planes=4).collect()
+    }
+    assert got[(0, 1)] == pytest.approx(1.0)
+    assert got[(0, 2)] > 0.99  # identical sign pattern → same bucket
+
+
+# ---------------------------------------------------------------------------
+# text stats
+# ---------------------------------------------------------------------------
+
+def test_text_stats_oracle(spark):
+    rows = [
+        (0, "The quick brown fox, the lazy dog!"),
+        (1, "عنوان عربي بالكامل"),
+        (2, "xyzzy plugh abcd efgh ijkl"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in with_text_stats(df).collect()}
+
+    assert got[0].n_tokens_ws == 7
+    assert got[0].punct_ratio == pytest.approx(2 / 34)  # ',' and '!'
+    assert got[0].stopword_ratio == pytest.approx(2 / 7)  # 'The'→the, 'the'
+    assert got[0].lang_detected == "en"
+    assert got[1].lang_detected == "ar"
+    assert got[2].lang_detected == "latin-other"
+    # fingerprint is whitespace-normalization invariant
+    df2 = spark.createDataFrame(
+        [(0, "  The   quick brown fox, the lazy dog! ")],
+        "doc_id long, text string",
+    )
+    fp = lambda d: with_text_stats(d).select("fingerprint").first()[0]
+    assert fp(df.filter("doc_id = 0")) == fp(df2)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_fake_codec_roundtrip():
+    p = fake_encode(20, 10, 3, seed=5)
+    m = decode_header(p)
+    assert (m["width"], m["height"], m["channels"]) == (20, 10, 3)
+    assert m["n_bytes"] == 9 + 20 * 10 * 3
+    assert m["codec"] == "nfsi-fake"
+    assert decode_header(b"junk")["codec"] == "unknown"
+
+
+def test_media_metadata_and_features(spark):
+    rows = [(i, fake_encode(16 + i, 8, 2, seed=i)) for i in range(10)]
+    rows.append((99, b"not-an-image"))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    meta = {r.media_id: r for r in with_media_metadata(df).collect()}
+    assert meta[3].width == 19 and meta[3].height == 8
+    assert meta[99].codec == "unknown" and meta[99].width is None
+
+    feats = {r.media_id: r.features for r in extract_features(df).collect()}
+    assert feats[99] is None
+    assert len(feats[0]) == 16
+    assert sum(feats[0]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_resize_stub_dims(spark):
+    df = spark.createDataFrame(
+        [(0, fake_encode(32, 16, 1, seed=1))], "media_id long, payload binary"
+    )
+    out = resize_stub(df, width=8, height=4).collect()[0]
+    m = decode_header(out.resized)
+    assert (m["width"], m["height"], m["channels"]) == (8, 4, 1)
+    assert m["n_bytes"] == 9 + 8 * 4
+
+
+def test_real_decode_is_stubbed():
+    from no_fasel_scrapers_spark.operators.multimodal import _decode_image_real
+
+    with pytest.raises(NotImplementedError):
+        _decode_image_real(b"\xff\xd8\xff")
