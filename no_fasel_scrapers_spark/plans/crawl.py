@@ -122,6 +122,7 @@ def run_crawl(
     max_waves: int = 24,
     n_salts: int = 8,
     n_shards: int = 32,
+    bloom_min_seen: int = 50_000,
     seen_prior: DataFrame | None = None,
     audit: bool = False,
     start_wave: int = 0,
@@ -145,6 +146,11 @@ def run_crawl(
                 )
             )
     lineage = list(lineage or [])
+    # running seen-set size, maintained incrementally from wave metrics so
+    # the bloom gate below costs no extra count() job
+    seen_count = sum(l.get("attempted", 0) for l in lineage)
+    if seen_prior is not None or (lineage == [] and start_wave > 0):
+        seen_count = max(seen_count, seen.select("url_hash").distinct().count())
 
     robots_b = robots
     wave_no = start_wave
@@ -157,11 +163,24 @@ def run_crawl(
         wave, leftover = take_wave(frontier, wave_budget)
         allowed, blocked = apply_robots(wave, robots_b)
 
+        # Bloom blobs are the 10^10-scale pre-filter; below the threshold
+        # the exact left_anti backstop alone is cheaper than building +
+        # probing blobs (two extra Python stages per wave).  Semantics are
+        # identical either way — the backstop guarantees exactness.
         blobs = (
-            build_filter_blobs(seen, n_shards) if not seen.isEmpty() else None
+            build_filter_blobs(seen, n_shards)
+            if seen_count >= bloom_min_seen
+            else None
         )
         fresh = dedup_against_seen(allowed, seen, blobs, n_shards)
         scheduled = schedule_fetches(fresh, robots_b, n_salts)
+
+        # each of these feeds several downstream actions this wave (counts,
+        # seen delta, fetch join); persist so the robots/bloom/politeness
+        # chain runs once, not once per action
+        wave = wave.persist()
+        blocked = blocked.persist()
+        scheduled = scheduled.persist()
 
         fetched = repartition_for_fetch(
             scheduled.join(pages_k, "url_hash", "left").filter(
@@ -184,6 +203,7 @@ def run_crawl(
         n_wave = wave.count()
         n_blocked = blocked.count()
         n_fresh = scheduled.count()
+        seen_count += n_fresh
         n_hit = wave_ex.filter(F.col("text").isNotNull()).count()
         host_metrics = [
             r.asDict() for r in politeness_metrics(scheduled).collect()
@@ -288,6 +308,8 @@ def run_crawl(
             "lineage",
             meta={"wave": wave_no},
         )
+        for df in (wave, blocked, scheduled):
+            df.unpersist()
         wave_no += 1
 
     extracted_all = (
