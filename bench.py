@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "120000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "1000000"))
 
 BENCH_QUERIES = [
     "pricing_summary",
@@ -66,6 +66,10 @@ def _spark(cpus: int):
         master=f"local[{cpus}]",
         extra_conf={
             "spark.sql.shuffle.partitions": str(max(cpus, 8)),
+            # heap scales with parallelism (1g/core, floor 8g) — a real N
+            # vs 4N cluster scales total memory with executor count, so the
+            # big level must not run memory-starved relative to the small
+            "spark.driver.memory": f"{max(cpus, 8)}g",
             # The bench pages table compresses ~40× (templated HTML), so
             # default 128m splits would pack the whole table into a handful
             # of tasks and starve the executor slots; split small so the
@@ -186,8 +190,13 @@ def main() -> None:
         prepare_pages(spark, pages_path, N_PAGES)
         spark.stop()
 
+        levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "")
+        if levels:
+            hi_lo = [int(x) for x in levels.split(",")]
+        else:
+            hi_lo = [CPUS, max(CPUS // 4, 1)]
         results = {}
-        for cpus in (CPUS, max(CPUS // 4, 1)):
+        for cpus in hi_lo:
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--extract-once", str(cpus)]
             if shutil.which("taskset"):
@@ -201,7 +210,7 @@ def main() -> None:
                 "sec": round(secs, 2),
                 "pages_per_sec": round(N_PAGES / secs, 1),
             }
-        hi, lo = CPUS, max(CPUS // 4, 1)
+        hi, lo = hi_lo
         eff = results[hi]["pages_per_sec"] / (
             results[lo]["pages_per_sec"] * (hi / lo)
         )
@@ -218,6 +227,7 @@ def main() -> None:
     spark = _spark(CPUS)
     prepare_pages(spark, pages_path, N_PAGES)
 
+    bench_extract(spark, pages_path, N_PAGES)  # warmup: JIT + worker spawn
     extract_sec = bench_extract(spark, pages_path, N_PAGES)
     crawl_sec, crawl_pages = bench_crawl(spark)
     queries = run_queries(spark)
@@ -225,7 +235,7 @@ def main() -> None:
     total = round(
         extract_sec + crawl_sec + sum(queries.values()), 3
     )
-    queries["extract_120k_pages"] = round(extract_sec, 3)
+    queries["extract_pages"] = round(extract_sec, 3)
     queries["crawl_e2e_fixture"] = round(crawl_sec, 3)
     print(json.dumps({
         "metric": "end_to_end_sec",
@@ -234,8 +244,8 @@ def main() -> None:
         "queries": queries,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "pages_per_sec": round(N_PAGES / extract_sec, 1),
-        "crawl_pages_per_sec": round(crawl_pages / crawl_sec, 1),
         "n_pages": N_PAGES,
+        "crawl_fixture_pages": crawl_pages,
         "cpus": CPUS,
     }))
     spark.stop()
