@@ -40,6 +40,15 @@ def main() -> None:
     ap.add_argument("--n-shards", type=int, default=32)
     ap.add_argument("--audit", action="store_true")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument(
+        "--recrawl-urls",
+        help="text file of URLs whose seen entries are invalidated "
+             "(cuckoo-delete semantics) so they are fetched again",
+    )
+    ap.add_argument(
+        "--seen-prior",
+        help="parquet of previous-run seen rows (url) for incremental crawls",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -67,6 +76,14 @@ def main() -> None:
         wave_budget=args.wave_budget, max_waves=args.max_waves,
         n_salts=args.n_salts, n_shards=args.n_shards, audit=args.audit,
     )
+    if args.seen_prior:
+        kw["seen_prior"] = spark.read.parquet(args.seen_prior)
+    elif fx is not None and not args.pages:
+        pass  # fresh crawl of the fixture by default
+    if args.recrawl_urls:
+        with open(args.recrawl_urls) as fh:
+            urls = [(u.strip(),) for u in fh if u.strip()]
+        kw["recrawl"] = spark.createDataFrame(urls, "url string")
     if args.resume:
         res = resume_crawl(spark, pages, seeds, robots, cat, **kw)
     else:

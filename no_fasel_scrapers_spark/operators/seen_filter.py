@@ -286,3 +286,193 @@ class CuckooFilter:
             .copy()
         )
         return cf
+
+
+# ---------------------------------------------------------------------------
+# Distributed cuckoo blobs (deletion-capable seen filter → recrawl support)
+# ---------------------------------------------------------------------------
+
+def _cuckoo_vec_probe(
+    table: np.ndarray, hashes: np.ndarray
+) -> np.ndarray:
+    """Vectorized CuckooFilter.contains over a batch of uint64 hashes."""
+    n_buckets = table.shape[0]
+    mask = np.uint64(n_buckets - 1)
+    fp = ((hashes >> np.uint64(20)) & np.uint64(0xFFFF))
+    fp[fp == 0] = 1
+    i1 = (hashes & mask).astype(np.int64)
+    i2 = ((i1.astype(np.uint64) ^ (fp * np.uint64(0x5BD1E995))) & mask).astype(
+        np.int64
+    )
+    fp16 = fp.astype(np.uint16)[:, None]
+    return (table[i1] == fp16).any(axis=1) | (table[i2] == fp16).any(axis=1)
+
+
+def _cuckoo_for(n_items: int, load_factor: float = 0.7) -> "CuckooFilter":
+    return CuckooFilter(
+        max(16, int(math.ceil(n_items / (CuckooFilter.SLOTS * load_factor))))
+    )
+
+
+def build_cuckoo_blobs(
+    seen: DataFrame, n_shards: int = 32, hash_col: str = "url_hash"
+) -> DataFrame:
+    """seen(url_hash) → per-shard cuckoo blobs (kind='cuckoo', m=n_buckets).
+
+    Same shuffle shape as ``build_filter_blobs``; the insert kick-loop is
+    per-key Python inside the shard task — the documented build cost of a
+    deletable filter (bloom stays the fast build for append-only waves)."""
+    keyed = seen.select(
+        F.col(hash_col).alias("url_hash"),
+        F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int").alias("shard"),
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        h = pdf["url_hash"].to_numpy(dtype=np.int64).astype(np.uint64)
+        cf = _cuckoo_for(len(h))
+        for x in h.tolist():
+            if not cf.insert(int(x)):  # table full → resize once, rebuild
+                bigger = CuckooFilter(cf.n_buckets * 2)
+                for y in h.tolist():
+                    bigger.insert(int(y))
+                cf = bigger
+                break
+        return pd.DataFrame(
+            [{
+                "shard": int(pdf["shard"].iloc[0]),
+                "kind": "cuckoo",
+                "bits": cf.to_bytes(),
+                "n_items": len(h),
+                "m": cf.n_buckets,
+                "k": CuckooFilter.SLOTS,
+            }]
+        )
+
+    return keyed.groupBy("shard").applyInPandas(_build, schema=BLOB_SCHEMA)
+
+
+def update_cuckoo_blobs(
+    blobs: DataFrame,
+    inserts: DataFrame | None = None,
+    deletes: DataFrame | None = None,
+    n_shards: int = 32,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Apply insert/delete deltas to cuckoo blobs — cogrouped per shard.
+
+    ``cogroup().applyInPandas`` keeps each (blob, its deltas) pair
+    partition-local: no driver collection, blobs of any size, one shuffle
+    of the (small) delta rows.  Missing-shard deltas build a fresh blob."""
+    spark_any = blobs.sparkSession
+    empty = spark_any.createDataFrame([], f"{hash_col} long")
+    ins = (inserts if inserts is not None else empty).select(
+        F.col(hash_col).alias("url_hash"), F.lit(1).alias("op")
+    )
+    dels = (deletes if deletes is not None else empty).select(
+        F.col(hash_col).alias("url_hash"), F.lit(-1).alias("op")
+    )
+    ops = ins.unionByName(dels).withColumn(
+        "shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int")
+    )
+
+    def _apply(key, blob_pdf: pd.DataFrame, ops_pdf: pd.DataFrame) -> pd.DataFrame:
+        (shard,) = key
+        if len(blob_pdf):
+            row = blob_pdf.iloc[0]
+            cf = CuckooFilter.from_bytes(row["bits"], int(row["m"]))
+            n_items = int(row["n_items"])
+        else:
+            cf = _cuckoo_for(max(len(ops_pdf), 16))
+            n_items = 0
+        h_ins = ops_pdf.loc[ops_pdf["op"] == 1, "url_hash"].to_numpy(
+            dtype=np.int64).astype(np.uint64)
+        h_del = ops_pdf.loc[ops_pdf["op"] == -1, "url_hash"].to_numpy(
+            dtype=np.int64).astype(np.uint64)
+        for x in h_del.tolist():
+            if cf.delete(int(x)):
+                n_items -= 1
+        for x in h_ins.tolist():
+            if not cf.insert(int(x)):
+                # fingerprints alone can't be rehashed into a bigger table;
+                # a full rebuild from the exact seen set is the caller's job
+                # (build_cuckoo_blobs) — signal via the n_items=-1 sentinel
+                n_items = -1
+                break
+            n_items += 1
+        return pd.DataFrame(
+            [{
+                "shard": int(shard), "kind": "cuckoo", "bits": cf.to_bytes(),
+                "n_items": n_items, "m": cf.n_buckets,
+                "k": CuckooFilter.SLOTS,
+            }]
+        )
+
+    return (
+        blobs.filter(F.col("kind") == "cuckoo")
+        .groupBy("shard")
+        .cogroup(ops.groupBy("shard"))
+        .applyInPandas(_apply, schema=BLOB_SCHEMA)
+    )
+
+
+def mark_maybe_seen_cuckoo(
+    candidates: DataFrame,
+    blobs: DataFrame,
+    n_shards: int = 32,
+    hash_col: str = "url_hash",
+) -> DataFrame:
+    """Cuckoo analog of ``mark_maybe_seen`` (vectorized probe, no Python
+    per-row loop on the read path)."""
+    withshard = candidates.withColumn(
+        "__shard", F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int")
+    )
+    joined = withshard.join(
+        F.broadcast(blobs.withColumnRenamed("shard", "__shard")),
+        "__shard",
+        "left",
+    )
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    ) + ", maybe_seen boolean"
+    cand_cols = [f.name for f in candidates.schema.fields]
+
+    def _probe(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            res = pdf[cand_cols].copy()
+            maybe = np.zeros(len(pdf), dtype=bool)
+            if len(pdf):
+                has_blob = pdf["bits"].notna().to_numpy()
+                if has_blob.any():
+                    for (m, _k, blob), idx in _group_by_blob(pdf, has_blob):
+                        table = np.frombuffer(
+                            blob, dtype=np.uint16
+                        ).reshape(m, CuckooFilter.SLOTS)
+                        h = (
+                            pdf[hash_col].to_numpy(dtype=np.int64)[idx]
+                            .astype(np.uint64)
+                        )
+                        maybe[idx] = _cuckoo_vec_probe(table, h)
+            res["maybe_seen"] = maybe
+            yield res
+
+    return joined.mapInPandas(_probe, schema=out_schema)
+
+
+def invalidate_recrawl(
+    seen: DataFrame,
+    recrawl: DataFrame,
+    cuckoo_blobs: DataFrame | None = None,
+    n_shards: int = 32,
+    hash_col: str = "url_hash",
+):
+    """Recrawl invalidation: drop URLs from the exact seen set and (when a
+    cuckoo filter is maintained) delete their fingerprints — the operation
+    bloom cannot do.  Returns (seen', blobs'|None)."""
+    keys = recrawl.select(F.col(hash_col)).distinct()
+    new_seen = seen.join(keys, hash_col, "left_anti")
+    new_blobs = (
+        update_cuckoo_blobs(cuckoo_blobs, deletes=keys, n_shards=n_shards)
+        if cuckoo_blobs is not None
+        else None
+    )
+    return new_seen, new_blobs

@@ -124,6 +124,7 @@ def run_crawl(
     n_shards: int = 32,
     bloom_min_seen: int = 50_000,
     seen_prior: DataFrame | None = None,
+    recrawl: DataFrame | None = None,
     audit: bool = False,
     start_wave: int = 0,
     frontier: DataFrame | None = None,
@@ -145,6 +146,16 @@ def run_crawl(
                     F.lit(-1).alias("wave"), F.lit(-1).alias("rank"),
                 )
             )
+    if recrawl is not None:
+        # recrawl invalidation (cuckoo-delete semantics on the exact set):
+        # dropped urls become fetchable again this run
+        from ..operators.seen_filter import invalidate_recrawl
+
+        keys = with_frontier_keys(recrawl.select("url"), n_salts).select(
+            "url_hash"
+        )
+        seen, _ = invalidate_recrawl(seen, keys, n_shards=n_shards)
+
     lineage = list(lineage or [])
     # running seen-set size, maintained incrementally from wave metrics so
     # the bloom gate below costs no extra count() job
