@@ -39,6 +39,7 @@ deterministic and testable.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -167,9 +168,19 @@ def run_crawl(
     wave_no = start_wave
 
     while wave_no < max_waves:
+        t_ms: dict = {}
+        _t0 = time.monotonic()
+
+        def _mark(stage):
+            nonlocal _t0
+            now = time.monotonic()
+            t_ms[stage] = round((now - _t0) * 1000)
+            _t0 = now
+
         frontier = dedup_within(frontier)
         if frontier.isEmpty():
             break
+        _mark("frontier_check")
 
         wave, leftover = take_wave(frontier, wave_budget)
         allowed, blocked = apply_robots(wave, robots_b)
@@ -209,6 +220,7 @@ def run_crawl(
             extracted, "extracted", meta={"wave": wave_no, "kind": "delta"}
         )
         wave_ex = spark.read.parquet(snap.path)
+        _mark("fetch_extract_write")
 
         # ---- wave metrics -------------------------------------------------
         n_wave = wave.count()
@@ -219,6 +231,7 @@ def run_crawl(
         host_metrics = [
             r.asDict() for r in politeness_metrics(scheduled).collect()
         ]
+        _mark("wave_counts")
         links_df = wave_ex.select(
             F.explode_outer("links").alias("l"),
             F.col("url").alias("discovered_from"),
@@ -240,6 +253,7 @@ def run_crawl(
         seen = seen.unionByName(seen_delta)
         catalog.write(seen, "seen", meta={"wave": wave_no})
         seen = catalog.read(spark, "seen")
+        _mark("seen_checkpoint")
 
         # ---- next frontier -------------------------------------------------
         child = links_df.select(
@@ -290,6 +304,7 @@ def run_crawl(
 
         catalog.write(nxt, "frontier", meta={"wave": wave_no + 1})
         frontier = catalog.read(spark, "frontier")
+        _mark("next_frontier")
 
         lineage.append(
             {
@@ -301,6 +316,7 @@ def run_crawl(
                 "fetched": n_hit,
                 "missed": n_fresh - n_hit,
                 "hosts": host_metrics,
+                "t_ms": t_ms,
             }
         )
         catalog.write(
