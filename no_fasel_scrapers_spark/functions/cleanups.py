@@ -133,3 +133,26 @@ def scrub_genres(genres: Column) -> Column:
     ``[]`` (callers wrap with ``coalesce``).
     """
     return F.filter(genres, lambda g: (~g.contains("%")) & (g != "/"))
+
+
+_PY_WS = r"[\s\p{Z}\x{0085}\x{001C}-\x{001F}]"
+
+
+def clean_anime_title(translated: Column) -> Column:
+    """Post-translation anime-title cleanup — reference
+    ``FaselAnimeScraper.py:16-29``.
+
+    ``translation.replace("Anime","").replace("anime","").replace("?","")
+    .strip().encode("ascii","ignore").decode()`` — note the order differs
+    from ``remove_arabic_chars``: here Python strips *before* dropping
+    non-ASCII, so whitespace uncovered by the ASCII drop is kept.  The
+    translation itself (googletrans ar→en, infinite retry) is inherently
+    irreproducible; the engine replaces it with a deterministic lookup-table
+    join (``plans/postprocess.translate_titles``) and applies this exact
+    cleanup after.
+    """
+    t = F.replace(translated, F.lit("Anime"), F.lit(""))
+    t = F.replace(t, F.lit("anime"), F.lit(""))
+    t = F.replace(t, F.lit("?"), F.lit(""))
+    stripped = F.regexp_replace(t, f"^{_PY_WS}+|{_PY_WS}+$", "")
+    return F.regexp_replace(stripped, r"[^\x00-\x7F]", "")

@@ -109,3 +109,30 @@ def image_index(flat: DataFrame, series: DataFrame) -> DataFrame:
         F.col("image_source").alias("image_url"),
     )
     return a.unionByName(b)
+
+
+def translate_titles(
+    records: DataFrame,
+    lookup: DataFrame,
+    title_col: str = "title",
+) -> DataFrame:
+    """O17 — deterministic stand-in for googletrans ar→en
+    (``FaselAnimeScraper.py:16-29``).
+
+    ``lookup``: (ar_title, en_title).  Unmatched titles keep the original
+    (the offline engine cannot invent translations; divergence documented in
+    SURVEY.md §7.3-5), then the reference's exact post-translation cleanup
+    runs as pure columns."""
+    from ..functions.cleanups import clean_anime_title
+
+    lk = lookup.select(
+        F.col("ar_title").alias(title_col), F.col("en_title").alias("__en")
+    )
+    return (
+        records.join(F.broadcast(lk), title_col, "left")
+        .withColumn(
+            title_col,
+            clean_anime_title(F.coalesce(F.col("__en"), F.col(title_col))),
+        )
+        .drop("__en")
+    )

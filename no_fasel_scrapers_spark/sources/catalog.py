@@ -133,3 +133,30 @@ class Catalog:
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tdir(name), ignore_errors=True)
+
+    def merge(
+        self,
+        df: DataFrame,
+        name: str,
+        key: str,
+        new_wins: bool = True,
+        partition_by: list[str] | None = None,
+        meta: dict | None = None,
+    ) -> Snapshot:
+        """MERGE-INTO semantics on the snapshot store (O11/O14).
+
+        Upserts ``df`` into the latest snapshot of ``name`` keyed on
+        ``key``: matching keys are replaced (``new_wins=True``, the
+        reference's ``old.update(new)``) or kept (``new_wins=False``, the
+        reference's ``new | old`` where old wins, FaselSeriesScraper.py:217)
+        and the result is published as a new immutable snapshot — the local
+        stand-in for Iceberg ``MERGE INTO`` with snapshot isolation.  One
+        window shuffle on ``key``; readers of the previous snapshot are
+        unaffected (version pinning)."""
+        from ..operators.merge import union_with_precedence
+
+        if not self.exists(name):
+            return self.write(df, name, partition_by=partition_by, meta=meta)
+        old = self.read(df.sparkSession, name)
+        merged = union_with_precedence(old, df, key, old_wins=not new_wins)
+        return self.write(merged, name, partition_by=partition_by, meta=meta)

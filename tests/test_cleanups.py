@@ -133,3 +133,46 @@ class TestPyCapitalize:
         vals = ["action", "sci-fi", "DRAMA", "", "x"]
         got = _run(spark, cleanups.py_capitalize, vals)
         assert got == [v.capitalize() for v in vals]
+
+
+def o_clean_anime(t):
+    return (
+        t.replace("Anime", "").replace("anime", "").replace("?", "")
+        .strip().encode("ascii", "ignore").decode()
+    )
+
+
+class TestCleanAnimeTitle:
+    def test_edges(self, spark):
+        from no_fasel_scrapers_spark.functions.cleanups import clean_anime_title
+
+        vals = _edge_cases() + [
+            "Naruto Anime", "anime?Attack", "Anime", "  Anime anime ? ",
+            "One?Piece Anime!", "عرض Anime عربي", " عرب x ",
+            " padded nbsp ", "Ani?me",
+        ]
+        got = _run(spark, clean_anime_title, vals)
+        assert got == [o_clean_anime(v) for v in vals]
+
+    @given(vals=st.lists(MIXED, min_size=1, max_size=12))
+    @settings(deadline=None, max_examples=25)
+    def test_property(self, spark, vals):
+        from no_fasel_scrapers_spark.functions.cleanups import clean_anime_title
+
+        got = _run(spark, clean_anime_title, vals)
+        assert got == [o_clean_anime(v) for v in vals]
+
+
+def test_translate_titles_lookup_and_cleanup(spark):
+    from no_fasel_scrapers_spark.plans.postprocess import translate_titles
+
+    records = spark.createDataFrame(
+        [("عرض ناروتو",), ("Already English",)], "title string"
+    )
+    lookup = spark.createDataFrame(
+        [("عرض ناروتو", "Naruto Show Anime?")], "ar_title string, en_title string"
+    )
+    got = sorted(r.title for r in translate_titles(records, lookup).collect())
+    # matched: translated then Anime/?-scrubbed → "Naruto Show";
+    # unmatched English survives the ascii-only cleanup unchanged
+    assert got == ["Already English", "Naruto Show"]

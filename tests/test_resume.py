@@ -48,3 +48,28 @@ def test_torn_manifest_ignored(spark, fixture, tmp_path):
         fp.write("{ partial")
     assert cat.latest("t").version == 0
     assert cat.read(spark, "t").count() == 3
+
+
+def test_catalog_merge_upsert_both_precedences(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "m"))
+    old = spark.createDataFrame(
+        [(1, "old-a", 3), (2, "old-b", 5)], "id long, val string, n long"
+    )
+    new = spark.createDataFrame(
+        [(2, "new-b", 9), (3, "new-c", 1)], "id long, val string, n long"
+    )
+    cat.merge(old, "t", key="id")                 # first merge = plain write
+    snap = cat.merge(new, "t", key="id")          # upsert, new wins
+    got = {r.id: r.val for r in cat.read(spark, "t").collect()}
+    assert got == {1: "old-a", 2: "new-b", 3: "new-c"}
+    assert snap.version == 1
+    # previous snapshot still readable (snapshot isolation / version pin)
+    v0 = {r.id: r.val for r in cat.read(spark, "t", version=0).collect()}
+    assert v0 == {1: "old-a", 2: "old-b"}
+
+    # old-wins precedence (reference `new | old`, FaselSeriesScraper.py:217)
+    cat2 = Catalog(str(tmp_path / "m2"))
+    cat2.merge(old, "t", key="id")
+    cat2.merge(new, "t", key="id", new_wins=False)
+    got2 = {r.id: r.val for r in cat2.read(spark, "t").collect()}
+    assert got2 == {1: "old-a", 2: "old-b", 3: "new-c"}
