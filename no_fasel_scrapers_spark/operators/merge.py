@@ -17,18 +17,21 @@ from pyspark.sql.window import Window
 def union_with_precedence(
     old: DataFrame,
     new: DataFrame,
-    key: str,
+    key: str | list[str],
     old_wins: bool = True,
 ) -> DataFrame:
     """unionByName + keep one row per key by precedence.
 
     old_wins=True reproduces ``new | old``; False reproduces
     ``old.update(new)``.  Deterministic within a side via the key ordering.
+    ``key`` may be a single column or a composite key list (e.g. the
+    content tables key on (site, category, item_id)).
     """
+    keys = [key] if isinstance(key, str) else list(key)
     o = old.withColumn("__rank", F.lit(0 if old_wins else 1))
     n = new.withColumn("__rank", F.lit(1 if old_wins else 0))
     u = o.unionByName(n, allowMissingColumns=True)
-    w = Window.partitionBy(key).orderBy(F.col("__rank").asc())
+    w = Window.partitionBy(*keys).orderBy(F.col("__rank").asc())
     return (
         u.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -138,7 +138,7 @@ class Catalog:
         self,
         df: DataFrame,
         name: str,
-        key: str,
+        key: str | list[str],
         new_wins: bool = True,
         partition_by: list[str] | None = None,
         meta: dict | None = None,

@@ -933,3 +933,42 @@ class Fixture:
             or [("", "", 0)],
             "url string, item_id string, episode_count int",
         )
+
+    def trending_links_df(self, spark):
+        """Akwam homepage "recents" stand-in (``TrendingScraper.py:15-28``
+        input shape): every 3rd stored akwam item plus links that must NOT
+        match (unknown id; non-series/movie path).  The fixture web has no
+        homepage page, so the homepage scan's *output* is synthesized
+        deterministically from the golden records instead."""
+        rows = [
+            (f"https://akwam.test/movie/{g['item_id']}/{_slug(g['title'], 0)}",)
+            for g in self.golden_flat
+            if g["site"] == "akwam" and int(g["item_id"]) % 3 == 0
+        ] + [
+            (f"https://akwam.test/series/{g['series_id']}/{_slug(g['title'], 0)}",)
+            for g in self.golden_series
+            if g["site"] == "akwam" and int(g["series_id"]) % 3 == 0
+        ] + [
+            ("https://akwam.test/movie/999999/unknown",),
+            ("https://akwam.test/shows/123/not-a-category",),
+        ]
+        return spark.createDataFrame(rows, "link string")
+
+    def trending_titles_df(self, spark):
+        """Fasel homepage trending stand-in (``TrendingScraper.py:66-114``
+        input shape): (link, title) pairs for every 4th stored fasel record,
+        with the category encoded in the link the way ``url_category``
+        classifies it and the title case/whitespace-mangled so the match
+        exercises the normalized key, plus one no-match row."""
+        enc = {"movies": "%d9%81%d9%8a%d9%84%d9%85", "series": "watch"}
+        rows = []
+        for g in self.golden_flat + self.golden_series:
+            if g["site"] != "fasel":
+                continue
+            gid = int(g.get("item_id") or g["series_id"])
+            if gid % 4 != 0:
+                continue
+            link = f"https://fasel.test/{enc[g['category']]}/{gid}"
+            rows.append((link, g["title"].upper().replace(" ", "   ")))
+        rows.append(("https://fasel.test/watch/0", "No Such Title"))
+        return spark.createDataFrame(rows, "link string, title string")
