@@ -675,6 +675,41 @@ def q_crawl_e2e(spark, sf_dir):
     )
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source/sink (sources/warc.py, Python DataSource API):
+    documents → pages schema → WARC sink → WARC scan → per-host rollup.
+    Oracle computes the same rollup directly, so any framing/encoding loss
+    in the round-trip breaks the value hash."""
+    import tempfile
+
+    from no_fasel_scrapers_spark.sources import warc
+
+    warc.register(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://"), "source", F.lit("/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        F.encode("text", "UTF-8").alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
+    out = tempfile.mkdtemp(prefix="nfs_warc_rt_")
+    pages.repartition(8).write.format("warc").mode("append").save(out)
+    back = spark.read.format("warc").load(out)
+    return (
+        back.withColumn("host", F.parse_url("url", F.lit("HOST")))
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum(F.length("html")).alias("total_bytes"),
+        )
+        .orderBy("host")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pricing_summary": q_pricing_summary,
@@ -709,11 +744,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "media_features": q_media_features,
         "crawl_e2e": q_crawl_e2e,
+        "warc_roundtrip": q_warc_roundtrip,
     }
+
+
+_WARC_ROUNDTRIP_SQL = """
+SELECT source AS host,
+       COUNT(*) AS n_pages,
+       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes
+FROM documents
+GROUP BY source
+ORDER BY host
+"""
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
