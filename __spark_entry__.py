@@ -298,6 +298,83 @@ def q_normalized_title_join(spark, sf_dir):
     return a.join(b, "k").select("pk_a", "pk_b")
 
 
+def q_trending_id_join(spark, sf_dir):
+    """O19 trending equi-join by id (TrendingScraper.py:15-50): homepage
+    recents ∩ stored catalog, inner join on item id, category tagged."""
+    d = _t(spark, sf_dir, "documents")
+    stored = d.select(
+        F.col("doc_id").alias("item_id"),
+        "source",
+        F.substring("text", 1, 24).alias("title"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("movies"))
+        .otherwise(F.lit("series"))
+        .alias("category"),
+    )
+    recents = d.filter(F.col("doc_id") % 11 == 0).select(
+        F.col("doc_id").alias("item_id")
+    )
+    return recents.join(stored, "item_id").select(
+        "item_id", "source", "title", "category"
+    )
+
+
+def q_genre_scrub_prune(spark, sf_dir):
+    """O22 genre scrub + prune (Postprocessing.py:36-49,75-87): array
+    higher-order filter drops junk entries, all-junk records are pruned."""
+    from no_fasel_scrapers_spark.functions.cleanups import scrub_genres
+
+    p = _t(spark, sf_dir, "part")
+    raw = F.when(
+        F.col("p_partkey") % 13 == 0, F.array(F.lit("100%"), F.lit("/"))
+    ).otherwise(
+        F.concat(
+            F.split(F.col("p_type"), " "), F.array(F.lit("50%"), F.lit("/"))
+        )
+    )
+    out = p.select("p_partkey", scrub_genres(raw).alias("genres"))
+    return out.filter(F.size("genres") > 0).select(
+        "p_partkey",
+        F.array_join("genres", ",").alias("genres_csv"),
+        F.size("genres").alias("n_genres"),
+    )
+
+
+def q_all_content_index(spark, sf_dir):
+    """O23 union-all indexer (AllContentIndexer.py:8-33): per-category
+    tables with missing columns unified, Rating/Genres defaulted."""
+    from no_fasel_scrapers_spark.plans.postprocess import all_content_index
+
+    p = _t(spark, sf_dir, "part")
+    img = F.concat(F.lit("img/"), F.col("p_partkey").cast("string"))
+    flat = p.filter(F.col("p_partkey") % 3 != 0).select(
+        F.col("p_partkey").cast("string").alias("item_id"),
+        F.col("p_name").alias("title"),
+        img.alias("image_source"),
+        F.lit("movies").alias("category"),
+        F.when(
+            F.col("p_partkey") % 5 != 0,
+            (F.col("p_partkey") % 10).cast("string"),
+        ).alias("rating"),
+        F.when(F.col("p_partkey") % 7 != 0, F.split("p_type", " ")).alias(
+            "genres"
+        ),
+    )
+    series = p.filter(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").cast("string").alias("series_id"),
+        F.col("p_name").alias("title"),
+        img.alias("image_source"),
+        F.lit("series").alias("category"),
+        F.when(F.col("p_partkey") % 2 == 0, F.split("p_type", " ")).alias(
+            "genres"
+        ),
+    )
+    out = all_content_index(flat, series)
+    return out.select(
+        "key", "title", "image_source", "category", "rating",
+        F.array_join("genres", "|").alias("genres_s"),
+    )
+
+
 def q_pagination_expand(spark, sf_dir):
     """O4/O5 pagination extent → distributed page-range frontier rows."""
     from no_fasel_scrapers_spark.operators.frontier import expand_pagination
@@ -724,6 +801,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_category": q_url_category,
         "title_cleanups": q_title_cleanups,
         "normalized_title_join": q_normalized_title_join,
+        "trending_id_join": q_trending_id_join,
+        "genre_scrub_prune": q_genre_scrub_prune,
+        "all_content_index": q_all_content_index,
         "pagination_expand": q_pagination_expand,
         "frontier_take_wave": q_frontier_take_wave,
         "robots_gate": q_robots_gate,
@@ -885,6 +965,52 @@ def oracle_sql() -> dict[str, str]:
                 FROM part
             )
             SELECT pk_a, pk_b FROM a JOIN b USING (k)
+        """,
+        "trending_id_join": """
+            SELECT d.doc_id AS item_id, d.source AS source,
+                   substring(d.text, 1, 24) AS title,
+                   CASE WHEN d.doc_id % 2 = 0 THEN 'movies'
+                        ELSE 'series' END AS category
+            FROM documents d
+            JOIN (SELECT doc_id FROM documents WHERE doc_id % 11 = 0) r
+              ON d.doc_id = r.doc_id
+        """,
+        "genre_scrub_prune": """
+            WITH g AS (
+                SELECT p_partkey,
+                       list_filter(
+                           CASE WHEN p_partkey % 13 = 0
+                                THEN ['100%', '/']
+                                ELSE list_concat(string_split(p_type, ' '),
+                                                 ['50%', '/']) END,
+                           x -> NOT contains(x, '%') AND x <> '/'
+                       ) AS genres
+                FROM part
+            )
+            SELECT p_partkey,
+                   array_to_string(genres, ',') AS genres_csv,
+                   CAST(len(genres) AS INTEGER) AS n_genres
+            FROM g WHERE len(genres) > 0
+        """,
+        "all_content_index": """
+            SELECT CAST(p_partkey AS VARCHAR) AS key, p_name AS title,
+                   'img/' || CAST(p_partkey AS VARCHAR) AS image_source,
+                   'movies' AS category,
+                   COALESCE(CASE WHEN p_partkey % 5 <> 0
+                                 THEN CAST(p_partkey % 10 AS VARCHAR) END,
+                            'N/A') AS rating,
+                   COALESCE(array_to_string(
+                       CASE WHEN p_partkey % 7 <> 0
+                            THEN string_split(p_type, ' ') END, '|'),
+                       '') AS genres_s
+            FROM part WHERE p_partkey % 3 <> 0
+            UNION ALL
+            SELECT CAST(p_partkey AS VARCHAR), p_name,
+                   'img/' || CAST(p_partkey AS VARCHAR), 'series', 'N/A',
+                   COALESCE(array_to_string(
+                       CASE WHEN p_partkey % 2 = 0
+                            THEN string_split(p_type, ' ') END, '|'), '')
+            FROM part WHERE p_partkey % 3 = 0
         """,
         "pagination_expand": """
             SELECT 'https://n' || CAST(n_nationkey AS VARCHAR) ||

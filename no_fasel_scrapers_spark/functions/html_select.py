@@ -15,6 +15,8 @@ per page inside a batch UDF, every downstream field op is a Spark column.
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 
 _VOID = {
@@ -26,13 +28,16 @@ _VOID = {
 class Node:
     """One element (or the document root). Text children are plain ``str``."""
 
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent", "_index")
 
     def __init__(self, tag: str, attrs: dict[str, str | None], parent: "Node | None"):
         self.tag = tag
         self.attrs = attrs
         self.children: list[Node | str] = []
         self.parent = parent
+        # document root only: tag -> nodes in document order (creation
+        # order), so root-level find/find_all skip the tree walk
+        self._index: dict[str, list[Node]] | None = None
 
     # -- attribute access -------------------------------------------------
     def __getitem__(self, key: str) -> str:
@@ -94,6 +99,9 @@ class Node:
         if attrs:
             class_ = attrs.get("class", class_)
             id = attrs.get("id", id)
+        if self._index is not None and tag is not None:
+            pool = self._index.get(tag, ())
+            return [n for n in pool if n._matches(tag, class_, id, string)]
         return [
             n
             for n in self.iter_desc()
@@ -104,6 +112,11 @@ class Node:
         if attrs:
             class_ = attrs.get("class", class_)
             id = attrs.get("id", id)
+        if self._index is not None and tag is not None:
+            for n in self._index.get(tag, ()):
+                if n._matches(tag, class_, id, string):
+                    return n
+            return None
         for n in self.iter_desc():
             if n._matches(tag, class_, id, string):
                 return n
@@ -170,11 +183,251 @@ class _TreeBuilder(HTMLParser):
             kids.append(data)
 
 
-def parse_html(html: bytes | str) -> Node:
-    """Parse an HTML document (bytes are decoded utf-8/replace) into a tree."""
+def parse_html_stdlib(html: bytes | str) -> Node:
+    """Reference tree builder on stdlib ``html.parser`` (the semantics oracle
+    for the fast tokenizer below; kept for the parity tests)."""
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", "replace")
     b = _TreeBuilder()
     b.feed(html)
     b.close()
     return b.root
+
+
+# ---------------------------------------------------------------------------
+# Fast tokenizer — same tree as parse_html_stdlib, ~3x the throughput.
+#
+# html.parser spends most of its time in goahead()'s incremental-feed
+# bookkeeping (updatepos, multi-regex probing per tag) that a one-shot,
+# whole-document scanner doesn't need.  Parsing is the single Python-side
+# cost center of the engine (SURVEY.md §7.3), so this is the hot loop.
+# Parity with the stdlib tree is pinned by tests/test_canonical.py's
+# corpus comparison and the golden byte-identity suite.
+# ---------------------------------------------------------------------------
+
+# tag name per html.parser's tagfind_tolerant
+_STARTTAG = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)")
+# html.parser's endtagfind (strict) and tagfind_tolerant (fallback name)
+_ENDTAG = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+_TAGNAME = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)")
+# html.parser's locatestarttagend_tolerant, verbatim: where the start tag's
+# attribute grammar stops; check_for_whole_start_tag's dispatch on the next
+# char decides tag end vs incomplete vs data fallback
+_LOCATE = re.compile(
+    r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+  (?:[\s/]*                          # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+      (?:\s*=+\s*                    # value indicator
+        (?:'[^']*'                   # LITA-enclosed value
+          |"[^"]*"                   # LIT-enclosed value
+          |(?!['"])[^>\s]*           # bare value
+        )
+        (?:\s*,)*                    # possibly followed by a comma
+      )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                # trailing whitespace
+""",
+    re.VERBOSE,
+)
+# html.parser's attrfind_tolerant, verbatim (matched at absolute positions
+# so the delimiter lookbehind sees the preceding separator)
+_ATTR = re.compile(
+    r"((?<=['\"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*"
+    r"('[^']*'|\"[^\"]*\"|(?!['\"])[^>\s]*))?(?:\s|/(?!>))*"
+)
+_ATTR_LEAD = re.compile(r"(?:\s|/(?!>))*")
+_INCOMPLETE_NEXT = frozenset(
+    "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+)
+# _markupbase marked-section grammar: <![cdata[...]]> / <![if ...]>
+_DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_MS_CLOSE = re.compile(r"]\s*]\s*>")
+_MS_IF_CLOSE = re.compile(r"]\s*>")
+_CDATA_CLOSE = {
+    t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE)
+    for t in ("script", "style")
+}
+
+
+def _parse_attrs(
+    s: str, pos: int, endpos: int
+) -> tuple[dict[str, str | None], str]:
+    """Parse attributes of the start tag spanning s[pos:endpos] (pos = just
+    after the tag name, endpos = just after the closing '>').  Returns
+    (attrs, end): end '>' = plain tag, '/>' = self-closing, anything else =
+    malformed (html.parser emits the whole tag as data)."""
+    attrs: dict[str, str | None] = {}
+    pos = _ATTR_LEAD.match(s, pos).end()
+    while pos < endpos:
+        m = _ATTR.match(s, pos)
+        if m is None:
+            break
+        name = m.group(1).lower()
+        v = m.group(3)
+        if v is None:
+            val = None
+        else:
+            if v[:1] in "\"'" and len(v) >= 2 and v[-1:] == v[:1]:
+                v = v[1:-1]
+            val = unescape(v) if "&" in v else v
+        attrs[name] = val  # duplicate attr: last one wins, like dict(list)
+        pos = m.end()
+    return attrs, s[pos:endpos].strip()
+
+
+def parse_html(html: bytes | str) -> Node:
+    """Parse an HTML document (bytes are decoded utf-8/replace) into a tree."""
+    if isinstance(html, (bytes, bytearray)):
+        s = bytes(html).decode("utf-8", "replace")
+    else:
+        s = html
+    root = Node("[document]", {}, None)
+    index: dict[str, list[Node]] = {}
+    root._index = index
+    cur = root
+    i, n = 0, len(s)
+    find = s.find
+
+    def emit_text(t: str) -> None:
+        if t and "&" in t:
+            t = unescape(t)  # can strip invalid charrefs down to ''
+        if not t:
+            return
+        kids = cur.children
+        if kids and isinstance(kids[-1], str):
+            kids[-1] += t
+        else:
+            kids.append(t)
+
+    def _incomplete_fallback(pos: int) -> int:
+        # html.parser goahead: an incomplete construct at EOF is emitted as
+        # data up to (and including) the next '>', else up to the next '<'
+        # (or one char), then scanning resumes
+        gt = find(">", pos + 1)
+        if gt >= 0:
+            k = gt + 1
+        else:
+            nxt = find("<", pos + 1)
+            k = nxt if nxt >= 0 else pos + 1
+        emit_text(s[pos:k])
+        return k
+
+    def _close(tag: str) -> None:
+        nonlocal cur
+        node = cur
+        while node is not None and node.tag != tag:
+            node = node.parent
+        if node is not None and node.parent is not None:
+            cur = node.parent
+
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            emit_text(s[i:])
+            break
+        if lt > i:
+            emit_text(s[i:lt])
+        c = s[lt + 1 : lt + 2]
+        if c == "!":
+            if s.startswith("<!--", lt):
+                end = find("-->", lt + 4)
+                if end >= 0:
+                    i = end + 3
+                    continue
+            elif s.startswith("<![", lt):
+                nm = _DECLNAME.match(s, lt + 3)
+                name = nm.group().strip().lower() if nm else None
+                if name in ("temp", "cdata", "ignore", "include", "rcdata"):
+                    cm = _MS_CLOSE.search(s, lt + 3)
+                elif name in ("if", "else", "endif"):
+                    cm = _MS_IF_CLOSE.search(s, lt + 3)
+                else:  # stdlib raises here; be lenient, swallow to '>'
+                    cm = None
+                if cm is not None:
+                    i = cm.end()
+                    continue
+                # unterminated marked section → same data fallback as below
+            else:  # <!doctype ...>, bogus declarations: swallow to '>'
+                end = find(">", lt + 2)
+                if end >= 0:
+                    i = end + 1
+                    continue
+            # unterminated comment/declaration/marked section: html.parser
+            # emits '<!--x>'-style chunks as data
+            i = _incomplete_fallback(lt)
+        elif c == "?":
+            end = find(">", lt + 2)
+            i = end + 1 if end >= 0 else _incomplete_fallback(lt)
+        elif c == "/":
+            m = _ENDTAG.match(s, lt)
+            if m is not None:
+                _close(m.group(1).lower())
+                i = m.end()
+                continue
+            gt = find(">", lt + 1)
+            if gt < 0:
+                i = _incomplete_fallback(lt)
+                continue
+            nm = _TAGNAME.match(s, lt + 2)
+            if nm is not None:
+                # '</tag junk>': html.parser closes the tag, skips to '>'
+                _close(nm.group(1).lower())
+                gt2 = find(">", nm.end())
+                i = n if gt2 < 0 else gt2 + 1
+            elif s.startswith("</>", lt):
+                i = lt + 3
+            else:  # bogus comment, swallowed to '>'
+                i = gt + 1
+        elif c and (("a" <= c <= "z") or ("A" <= c <= "Z")):
+            m = _STARTTAG.match(s, lt)
+            # check_for_whole_start_tag: dispatch on the char where the
+            # attribute grammar stops
+            j = _LOCATE.match(s, lt).end()
+            nc = s[j : j + 1]
+            if nc == ">":
+                endpos = j + 1
+            elif nc == "/" and s.startswith("/>", j):
+                endpos = j + 2
+            elif nc == "" or nc == "/" or nc in _INCOMPLETE_NEXT:
+                i = _incomplete_fallback(lt)  # incomplete tag at EOF → data
+                continue
+            else:
+                endpos = j  # grammar stopped mid-tag → data fallback below
+            tag = m.group(1).lower()
+            attrs, end = _parse_attrs(s, m.end(), endpos)
+            if end not in (">", "/>"):
+                # malformed start tag: html.parser's tolerant fallback emits
+                # the whole tag as data, charrefs NOT converted
+                kids = cur.children
+                chunk = s[lt:endpos]
+                if kids and isinstance(kids[-1], str):
+                    kids[-1] += chunk
+                else:
+                    kids.append(chunk)
+                i = endpos
+                continue
+            self_closing = end == "/>"
+            node = Node(tag, attrs, cur)
+            cur.children.append(node)
+            if tag in index:
+                index[tag].append(node)
+            else:
+                index[tag] = [node]
+            i = endpos
+            if self_closing or tag in _VOID:
+                pass
+            elif tag in _CDATA_CLOSE:  # raw-text elements, no charref decode
+                cm = _CDATA_CLOSE[tag].search(s, i)
+                if cm is None:  # unterminated: html.parser drops the data
+                    break
+                if cm.start() > i:
+                    node.children.append(s[i : cm.start()])
+                i = cm.end()
+            else:
+                cur = node
+        else:  # lone '<' — data, like html.parser's tolerant mode
+            emit_text("<")
+            i = lt + 1
+    return root
