@@ -298,6 +298,64 @@ def q_normalized_title_join(spark, sf_dir):
     return a.join(b, "k").select("pk_a", "pk_b")
 
 
+def q_rollup_status_priority(spark, sf_dir):
+    """Grouping-sets rollup (SURVEY.md §2.2 aggregation checklist): subtotal
+    and grand-total rows in one pass — absent in the reference, free in
+    Spark; at scale this is one shuffle with partial aggregation."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            _dec_sum(F.col("o_totalprice")).alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderstatus"), F.lit("<all>")).alias("status"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("<all>")).alias(
+                "priority"
+            ),
+            "n",
+            "total",
+        )
+    )
+
+
+def q_intersect_keys(spark, sf_dir):
+    """Set intersection (§2.2 set-ops checklist; the reference only has
+    union-with-precedence and anti-difference)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k")
+    )
+    b = li.select(F.col("l_orderkey").alias("k"))
+    return a.intersect(b)
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Batch sessionization: 30-min-gap sessions via lag + running sum —
+    the batch twin of the streaming session_window path (§2.2 windows)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; session tz is UTC, so ntz→timestamp→long matches
+    # DuckDB's epoch() on the same naive values
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return marked.groupBy("user_id").agg(
+        F.max("sess_id").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_trending_id_join(spark, sf_dir):
     """O19 trending equi-join by id (TrendingScraper.py:15-50): homepage
     recents ∩ stored catalog, inner join on item id, category tagged."""
@@ -801,6 +859,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_category": q_url_category,
         "title_cleanups": q_title_cleanups,
         "normalized_title_join": q_normalized_title_join,
+        "rollup_status_priority": q_rollup_status_priority,
+        "intersect_keys": q_intersect_keys,
+        "sessionize_events": q_sessionize_events,
         "trending_id_join": q_trending_id_join,
         "genre_scrub_prune": q_genre_scrub_prune,
         "all_content_index": q_all_content_index,
@@ -965,6 +1026,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM part
             )
             SELECT pk_a, pk_b FROM a JOIN b USING (k)
+        """,
+        "rollup_status_priority": """
+            SELECT COALESCE(o_orderstatus, '<all>') AS status,
+                   COALESCE(o_orderpriority, '<all>') AS priority,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "intersect_keys": """
+            SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
+            INTERSECT
+            SELECT l_orderkey FROM lineitem
+        """,
+        "sessionize_events": """
+            WITH marked AS (
+                SELECT user_id, event_id,
+                       CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                              OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id,
+                   CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM marked GROUP BY user_id
         """,
         "trending_id_join": """
             SELECT d.doc_id AS item_id, d.source AS source,
