@@ -42,7 +42,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.extract import EXTRACT_SCHEMA, extract_page
@@ -156,6 +156,21 @@ def run_crawl(
             "url_hash"
         )
         seen, _ = invalidate_recrawl(seen, keys, n_shards=n_shards)
+        if catalog.exists("seen"):
+            # the invalidated set replaces the append-log atomically: one
+            # snapshot marked 'compact' restarts the log (Iceberg REPLACE)
+            catalog.write(
+                seen, "seen",
+                meta={"wave": start_wave - 1, "kind": "compact"},
+            )
+            seen = catalog.read_log(spark, "seen")
+    if seen_prior is not None and not catalog.exists("seen"):
+        # fresh run with imported history: publish it as the log base so
+        # per-wave writes stay O(delta) (the seen set is never rewritten)
+        catalog.write(
+            seen, "seen", meta={"wave": start_wave - 1, "kind": "base"}
+        )
+        seen = catalog.read_log(spark, "seen")
 
     lineage = list(lineage or [])
     # running seen-set size, maintained incrementally from wave metrics so
@@ -183,7 +198,15 @@ def run_crawl(
         _mark("frontier_check")
 
         wave, leftover = take_wave(frontier, wave_budget)
-        allowed, blocked = apply_robots(wave, robots_b)
+        # wave/allowed/fresh sizes are collected as Observations on the one
+        # write action below — zero extra count() jobs per wave; blocked and
+        # dropped counts follow arithmetically
+        obs_wave, obs_allowed, obs_sched = (
+            Observation(), Observation(), Observation(),
+        )
+        wave = wave.observe(obs_wave, F.count(F.lit(1)).alias("n"))
+        allowed, _blocked = apply_robots(wave, robots_b)
+        allowed = allowed.observe(obs_allowed, F.count(F.lit(1)).alias("n"))
 
         # Bloom blobs are the 10^10-scale pre-filter; below the threshold
         # the exact left_anti backstop alone is cheaper than building +
@@ -195,13 +218,13 @@ def run_crawl(
             else None
         )
         fresh = dedup_against_seen(allowed, seen, blobs, n_shards)
-        scheduled = schedule_fetches(fresh, robots_b, n_salts)
+        scheduled = schedule_fetches(fresh, robots_b, n_salts).observe(
+            obs_sched, F.count(F.lit(1)).alias("n")
+        )
 
-        # each of these feeds several downstream actions this wave (counts,
-        # seen delta, fetch join); persist so the robots/bloom/politeness
-        # chain runs once, not once per action
-        wave = wave.persist()
-        blocked = blocked.persist()
+        # scheduled feeds several downstream actions this wave (host
+        # metrics, seen delta, fetch join); persist so the robots/bloom/
+        # politeness chain runs once, not once per action
         scheduled = scheduled.persist()
 
         fetched = repartition_for_fetch(
@@ -223,9 +246,12 @@ def run_crawl(
         _mark("fetch_extract_write")
 
         # ---- wave metrics -------------------------------------------------
-        n_wave = wave.count()
-        n_blocked = blocked.count()
-        n_fresh = scheduled.count()
+        # counts observed during the write action above (obs.get blocks
+        # until that action finished, which it already has)
+        n_wave = int(obs_wave.get["n"])
+        n_allowed = int(obs_allowed.get["n"])
+        n_blocked = n_wave - n_allowed
+        n_fresh = int(obs_sched.get["n"])
         seen_count += n_fresh
         n_hit = wave_ex.filter(F.col("text").isNotNull()).count()
         host_metrics = [
@@ -250,9 +276,13 @@ def run_crawl(
                 "url_hash", "url", F.lit(wave_no).alias("wave"),
                 F.lit(-1).alias("rank"),
             )
-        seen = seen.unionByName(seen_delta)
-        catalog.write(seen, "seen", meta={"wave": wave_no})
-        seen = catalog.read(spark, "seen")
+        # append-log: only this wave's delta is written (O(delta), never a
+        # rewrite of the growing set — the 10^10-URL requirement); read_log
+        # reassembles base + deltas as a flat multi-path parquet scan
+        catalog.write(
+            seen_delta, "seen", meta={"wave": wave_no, "kind": "delta"}
+        )
+        seen = catalog.read_log(spark, "seen")
         _mark("seen_checkpoint")
 
         # ---- next frontier -------------------------------------------------
@@ -299,8 +329,9 @@ def run_crawl(
         if pagination is not None:
             nxt = nxt.unionByName(pagination)
         # drop anything already attempted (cheap pre-prune; the wave-side
-        # bloom+anti-join remains the correctness gate)
-        nxt = nxt.join(seen.select("url_hash").distinct(), "url_hash", "left_anti")
+        # bloom+anti-join remains the correctness gate; seen deltas are
+        # disjoint by construction, so no distinct needed)
+        nxt = nxt.join(seen.select("url_hash"), "url_hash", "left_anti")
 
         catalog.write(nxt, "frontier", meta={"wave": wave_no + 1})
         frontier = catalog.read(spark, "frontier")
@@ -335,8 +366,7 @@ def run_crawl(
             "lineage",
             meta={"wave": wave_no},
         )
-        for df in (wave, blocked, scheduled):
-            df.unpersist()
+        scheduled.unpersist()
         wave_no += 1
 
     extracted_all = (
@@ -368,7 +398,7 @@ def resume_crawl(
     start_wave = int(f_snap.meta.get("wave", 0))
     frontier = catalog.read(spark, "frontier")
     seen = (
-        catalog.read(spark, "seen")
+        catalog.read_log(spark, "seen")
         if catalog.exists("seen")
         else None
     )

@@ -26,7 +26,8 @@ import os
 import shutil
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -89,11 +90,16 @@ class Catalog:
         prev = self.latest(name)
         version = 0 if prev is None else prev.version + 1
         data_dir = os.path.join(self._tdir(name), f"v{version}")
-        writer = df.write.mode("overwrite")
+        # manifest row count observed during the write action itself — no
+        # second count() job over the freshly written files
+        obs = Observation()
+        writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        )
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        rows = df.sparkSession.read.parquet(data_dir).count()
+        rows = int(obs.get["n"])
         manifest = {
             "version": version,
             "rows": rows,
@@ -130,6 +136,25 @@ class Catalog:
         if not snaps:
             raise FileNotFoundError(f"table {name!r} has no published snapshot")
         return spark.read.parquet(*[s.path for s in snaps])
+
+    def read_log(self, spark: SparkSession, name: str) -> DataFrame:
+        """Append-log read honoring compaction markers.
+
+        Like ``read_union``, but a snapshot published with
+        ``meta={"kind": "base"}`` (or ``"compact"``) starts the log over:
+        only it and later snapshots are read.  This is what lets a
+        replace-the-world maintenance op (recrawl invalidation, log
+        compaction) stay a single atomic manifest publish while normal
+        writers keep appending O(delta) snapshots — the local stand-in for
+        an Iceberg REPLACE commit on an append table."""
+        snaps = self.snapshots(name)
+        if not snaps:
+            raise FileNotFoundError(f"table {name!r} has no published snapshot")
+        base = 0
+        for i, s in enumerate(snaps):
+            if s.meta.get("kind") in ("base", "compact"):
+                base = i
+        return spark.read.parquet(*[s.path for s in snaps[base:]])
 
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tdir(name), ignore_errors=True)
