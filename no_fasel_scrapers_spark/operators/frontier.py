@@ -116,43 +116,75 @@ def repartition_for_fetch(wave: DataFrame, n_partitions: int | None = None) -> D
     return wave.repartition("host", "host_salt")
 
 
+def expand_pagination_df(probes: DataFrame, n_salts: int = 8) -> DataFrame:
+    """Distributed pagination expansion (O4/O5): probe rows → one listing
+    frontier row per page 1..last_page.
+
+    ``probes`` columns: site, category, url_template (with a ``{p}`` page
+    placeholder), last_page, depth, priority, from_url.  The expansion is
+    ``explode(sequence(...))`` — no driver-side collect and a plan of
+    constant size regardless of probe count, so a wave that discovers a
+    million listing extents expands entirely on executors.  This replaces
+    the reference's split_into_ranges + thread pools (O13) outright.
+    """
+    ex = (
+        probes.filter(
+            F.col("last_page").isNotNull()
+            & (F.col("last_page") >= 1)
+            & F.col("url_template").isNotNull()
+        )
+        .select(
+            "site", "category", "url_template", "depth", "priority",
+            "from_url",
+            F.explode(
+                F.sequence(F.lit(1), F.col("last_page").cast("int"))
+            ).alias("page"),
+        )
+        .select(
+            F.replace(
+                F.col("url_template"), F.lit("{p}"),
+                F.col("page").cast("string"),
+            ).alias("url"),
+            "site",
+            "category",
+            F.lit("listing").alias("role"),
+            F.lit(None).cast("string").alias("url_template"),
+            (F.coalesce(F.col("depth"), F.lit(0)) + 1).cast("int").alias(
+                "depth"
+            ),
+            F.coalesce(F.col("priority"), F.lit(0)).cast("int").alias(
+                "priority"
+            ),
+            F.col("from_url").cast("string").alias("discovered_from"),
+        )
+    )
+    return with_frontier_keys(ex, n_salts).select(
+        "url", "url_hash", "host", "host_salt", "site", "category", "role",
+        "url_template", "depth", "priority", "discovered_from",
+    )
+
+
 def expand_pagination(
     spark: SparkSession,
     probes: list[dict],
     n_salts: int = 8,
 ) -> DataFrame | None:
-    """Turn pagination-extent probe results into listing frontier rows.
-
-    ``probes``: [{site, category, url_template, last_page, depth, priority}].
-    Reference O5: the extent probe on page 1 seeds the page range — here the
-    range is generated distributed (``spark.range``), one row per page 1..N
-    (the reference's HDW over-scan quirk, last+1, is applied by the caller).
-    This replaces split_into_ranges + thread pools (O4/O13) outright.
-    """
-    frames = []
-    for p in probes:
-        if not p.get("last_page") or not p.get("url_template"):
-            continue
-        rng = spark.range(1, int(p["last_page"]) + 1).select(
-            F.format_string(
-                p["url_template"].replace("%", "%%").replace("{p}", "%d"),
-                F.col("id"),
-            ).alias("url"),
-            F.lit(p["site"]).alias("site"),
-            F.lit(p["category"]).alias("category"),
-            F.lit("listing").alias("role"),
-            F.lit(None).cast("string").alias("url_template"),
-            F.lit(int(p.get("depth", 0)) + 1).cast("int").alias("depth"),
-            F.lit(int(p.get("priority", 0))).cast("int").alias("priority"),
-            F.lit(p.get("from_url")).cast("string").alias("discovered_from"),
+    """List-of-dicts convenience wrapper over :func:`expand_pagination_df`
+    (driver-seeded probes, e.g. a fresh crawl's seed extents)."""
+    rows = [
+        (
+            p.get("site"), p.get("category"), p.get("url_template"),
+            int(p["last_page"]), int(p.get("depth", 0)),
+            int(p.get("priority", 0)), p.get("from_url"),
         )
-        frames.append(rng)
-    if not frames:
+        for p in probes
+        if p.get("last_page") and p.get("url_template")
+    ]
+    if not rows:
         return None
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return with_frontier_keys(out, n_salts).select(
-        "url", "url_hash", "host", "host_salt", "site", "category", "role",
-        "url_template", "depth", "priority", "discovered_from",
+    df = spark.createDataFrame(
+        rows,
+        "site string, category string, url_template string, last_page int, "
+        "depth int, priority int, from_url string",
     )
+    return expand_pagination_df(df, n_salts)

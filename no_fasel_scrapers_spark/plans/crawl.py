@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 from ..functions.extract import EXTRACT_SCHEMA, extract_page
 from ..operators.frontier import (
     dedup_within,
-    expand_pagination,
+    expand_pagination_df,
     repartition_for_fetch,
     seeds_to_frontier,
     take_wave,
@@ -219,7 +219,9 @@ def run_crawl(
         )
         fresh = dedup_against_seen(allowed, seen, blobs, n_shards)
         scheduled = schedule_fetches(fresh, robots_b, n_salts).observe(
-            obs_sched, F.count(F.lit(1)).alias("n")
+            obs_sched,
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct("host").alias("n_hosts"),
         )
 
         # scheduled feeds several downstream actions this wave (host
@@ -254,8 +256,16 @@ def run_crawl(
         n_fresh = int(obs_sched.get["n"])
         seen_count += n_fresh
         n_hit = wave_ex.filter(F.col("text").isNotNull()).count()
+        # lineage keeps the top-K busiest hosts, not every host: at crawl
+        # scale a wave can touch millions of hosts and an unbounded collect
+        # would be a driver OOM; the full per-host distribution stays
+        # queryable from the scheduled/extracted tables
         host_metrics = [
-            r.asDict() for r in politeness_metrics(scheduled).collect()
+            r.asDict()
+            for r in politeness_metrics(scheduled)
+            .orderBy(F.desc("n_urls"), "host")
+            .limit(16)
+            .collect()
         ]
         _mark("wave_counts")
         links_df = wave_ex.select(
@@ -303,31 +313,21 @@ def run_crawl(
             "role", "url_template", "depth", "priority", "discovered_from",
         )
 
-        probes = [
-            {
-                "site": r["site"],
-                "category": r["category"],
-                "url_template": r["url_template"],
-                # reference HDW over-scan quirk: pages 1..last+1
-                # (HDWMoviesScraper.py:60)
-                "last_page": r["last_page"] + (1 if r["site"] == "hdw" else 0),
-                "depth": r["depth"],
-                "priority": r["priority"],
-                "from_url": r["url"],
-            }
-            for r in wave_ex.filter(
-                F.col("last_page").isNotNull()
-                & F.col("url_template").isNotNull()
-            ).select(
-                "site", "category", "url_template", "last_page", "depth",
-                "priority", "url",
-            ).collect()
-        ]
-        pagination = expand_pagination(spark, probes, n_salts)
+        # pagination expansion stays on executors (no probe collect): a wave
+        # discovering a million listing extents expands distributed
+        probes = wave_ex.select(
+            "site", "category", "url_template",
+            # reference HDW over-scan quirk: pages 1..last+1
+            # (HDWMoviesScraper.py:60)
+            (
+                F.col("last_page")
+                + F.when(F.col("site") == "hdw", 1).otherwise(0)
+            ).alias("last_page"),
+            "depth", "priority", F.col("url").alias("from_url"),
+        )
+        pagination = expand_pagination_df(probes, n_salts)
 
-        nxt = leftover.unionByName(child)
-        if pagination is not None:
-            nxt = nxt.unionByName(pagination)
+        nxt = leftover.unionByName(child).unionByName(pagination)
         # drop anything already attempted (cheap pre-prune; the wave-side
         # bloom+anti-join remains the correctness gate; seen deltas are
         # disjoint by construction, so no distinct needed)
@@ -346,6 +346,7 @@ def run_crawl(
                 "attempted": n_fresh,
                 "fetched": n_hit,
                 "missed": n_fresh - n_hit,
+                "n_hosts": int(obs_sched.get["n_hosts"]),
                 "hosts": host_metrics,
                 "t_ms": t_ms,
             }
