@@ -565,6 +565,15 @@ def q_url_canonicalize(spark, sf_dir):
 # training-data operators
 # ---------------------------------------------------------------------------
 
+def q_chunk_documents(spark, sf_dir):
+    """Document chunking (training-data op): 32-token windows, stride 16 —
+    pure columns (split → sequence → posexplode → slice), zero shuffle."""
+    from no_fasel_scrapers_spark.operators.chunking import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, size=32, stride=16)
+
+
 def q_exact_dedup(spark, sf_dir):
     """Exact dedup: hash-groupBy, lowest-id survivor (training-data op)."""
     from no_fasel_scrapers_spark.operators.dedup import exact_dedup
@@ -871,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_schedule": q_politeness_schedule,
         "seen_filter_dedup": q_seen_filter_dedup,
         "url_canonicalize": q_url_canonicalize,
+        "chunk_documents": q_chunk_documents,
         "exact_dedup": q_exact_dedup,
         "text_stats": q_text_stats,
         "ngram_jaccard": q_ngram_jaccard,
@@ -902,6 +912,25 @@ ORDER BY host
 def oracle_sql() -> dict[str, str]:
     return {
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "chunk_documents": """
+            WITH d AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
+            ), c AS (
+                SELECT doc_id, toks,
+                       CAST(ceil(len(toks) / 16.0) AS INT) AS n_chunks
+                FROM d
+            )
+            SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                   CAST(len(toks[i*16+1 : least(i*16+32, len(toks))])
+                        AS INT) AS n_tokens,
+                   array_to_string(
+                       toks[i*16+1 : least(i*16+32, len(toks))], ' ')
+                       AS chunk_text
+            FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -260,3 +260,52 @@ def test_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         _decode_image_real(b"\xff\xd8\xff")
+
+
+# ---------------------------------------------------------------------------
+# document chunking (operators/chunking.py)
+# ---------------------------------------------------------------------------
+
+def test_chunk_documents_matches_python(spark):
+    from no_fasel_scrapers_spark.operators.chunking import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),   # 10 tokens
+        (2, "single"),                                # 1 token
+        (3, None),                                    # null → no rows
+        (4, "   "),                                   # blank → no rows
+        (5, " ".join(f"w{i}" for i in range(8))),    # exactly 2 windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in chunk_documents(df, size=4, stride=3).collect()
+    }
+
+    def oracle(doc_id, text):
+        if text is None or not text.strip():
+            return {}
+        toks = text.split()
+        out = {}
+        i = 0
+        while i * 3 < len(toks):
+            w = toks[i * 3 : i * 3 + 4]
+            out[(doc_id, i)] = (len(w), " ".join(w))
+            i += 1
+        return out
+
+    want = {}
+    for doc_id, text in rows:
+        want.update(oracle(doc_id, text))
+    assert got == want
+    # overlap: consecutive windows share size-stride tokens
+    assert got[(1, 0)][1].split()[3] == got[(1, 1)][1].split()[0]
+
+
+def test_chunk_documents_no_shuffle(spark):
+    """Chunking must be a narrow map — no Exchange in the plan."""
+    from no_fasel_scrapers_spark.operators.chunking import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = chunk_documents(df, size=2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
