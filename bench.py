@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "ann_bruteforce",
     "events_hourly",
     "media_metadata",
+    "rollup_status_priority",
+    "sessionize_events",
+    "chunk_documents",
 ]
 
 
@@ -228,7 +231,10 @@ def main() -> None:
     prepare_pages(spark, pages_path, N_PAGES)
 
     bench_extract(spark, pages_path, N_PAGES)  # warmup: JIT + worker spawn
-    extract_sec = bench_extract(spark, pages_path, N_PAGES)
+    # min of 2 measured runs: host-level noisy-neighbor variance on this
+    # sandbox VM is ±10-50%; min is the least-contended estimate
+    extract_sec = min(bench_extract(spark, pages_path, N_PAGES) for _ in range(2))
+    bench_crawl(spark)  # warmup: the wave loop's cold paths (codegen, IO)
     crawl_sec, crawl_pages = bench_crawl(spark)
     queries = run_queries(spark)
 
