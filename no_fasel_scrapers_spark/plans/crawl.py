@@ -229,8 +229,20 @@ def run_crawl(
         # politeness chain runs once, not once per action
         scheduled = scheduled.persist()
 
+        # "fetch" = join the wave against the pages table WITHOUT ever
+        # shuffling the big side: a broadcast left-semi first reduces pages
+        # to the wave's url_hashes in one streaming pass (a LeftOuter with
+        # pages on the build side would fall back to shuffling the whole
+        # pages table once the fixture-sized broadcast no longer fits); the
+        # outer join then runs between two wave-sized inputs, which AQE
+        # broadcasts.  The broadcast is one 8-byte hash per wave row,
+        # bounded by wave_budget.
+        wave_keys = scheduled.select("url_hash")
+        pages_wave = pages_k.join(
+            F.broadcast(wave_keys), "url_hash", "left_semi"
+        )
         fetched = repartition_for_fetch(
-            scheduled.join(pages_k, "url_hash", "left").filter(
+            scheduled.join(pages_wave, "url_hash", "left").filter(
                 F.col("p_url").isNull() | (F.col("p_url") == F.col("url"))
             )
         )
