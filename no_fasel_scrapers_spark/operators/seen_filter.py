@@ -78,11 +78,16 @@ def build_filter_blobs(
     n_shards: int = 32,
     bits_per_key: int = 10,
     hash_col: str = "url_hash",
+    n_expected_per_shard: int | None = None,
 ) -> DataFrame:
     """seen(url_hash) → blobs(shard, bits, ...) built with applyInPandas.
 
     One shuffle on ``shard`` (narrow — one long per row), then blob build is
-    partition-local numpy.  Per-shard m sizes from the shard's own count.
+    partition-local numpy.  By default per-shard m sizes from the shard's
+    own count; pass ``n_expected_per_shard`` to pin (m, k) so blobs built
+    from different inputs (e.g. per-wave deltas) are OR-mergeable via
+    :func:`merge_filter_blobs`.  Exceeding the expected count only degrades
+    fpp — the exact anti-join backstop keeps dedup exact regardless.
     """
     keyed = seen.select(
         F.col(hash_col).alias("url_hash"),
@@ -91,7 +96,12 @@ def build_filter_blobs(
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         h = pdf["url_hash"].to_numpy(dtype=np.int64).astype(np.uint64)
-        m, k = bloom_params(max(len(h), 1), bits_per_key)
+        m, k = bloom_params(
+            n_expected_per_shard
+            if n_expected_per_shard is not None
+            else max(len(h), 1),
+            bits_per_key,
+        )
         return pd.DataFrame(
             [{
                 "shard": int(pdf["shard"].iloc[0]),
@@ -104,6 +114,44 @@ def build_filter_blobs(
         )
 
     return keyed.groupBy("shard").applyInPandas(_build, schema=BLOB_SCHEMA)
+
+
+def merge_filter_blobs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two blob tables built with the same pinned (m, k).
+
+    The incremental path for a long crawl: blobs(wave k) =
+    merge(blobs(wave k-1), build(delta_k, pinned size)) — O(filter bytes)
+    per wave instead of an O(|seen|) rebuild.  One shuffle of ``n_shards``
+    blob rows.  Shards present in only one input pass through unchanged;
+    mismatched (m, k) (e.g. a legacy auto-sized blob) raise, since ORing
+    differently-sized bitsets would corrupt membership."""
+    u = a.unionByName(b)
+
+    def _or(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[0]
+        if len(pdf) == 1:
+            return pdf[[c for c in pdf.columns]]
+        if pdf["m"].nunique() != 1 or pdf["k"].nunique() != 1:
+            raise ValueError(
+                f"shard {int(first['shard'])}: cannot OR-merge blobs with "
+                f"different (m, k) — rebuild with a pinned "
+                f"n_expected_per_shard"
+            )
+        bits = np.frombuffer(first["bits"], dtype=np.uint8).copy()
+        for blob in pdf["bits"].iloc[1:]:
+            bits |= np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame(
+            [{
+                "shard": int(first["shard"]),
+                "kind": "bloom",
+                "bits": bits.tobytes(),
+                "n_items": int(pdf["n_items"].sum()),
+                "m": int(first["m"]),
+                "k": int(first["k"]),
+            }]
+        )
+
+    return u.groupBy("shard").applyInPandas(_or, schema=BLOB_SCHEMA)
 
 
 def mark_maybe_seen(
@@ -174,29 +222,31 @@ def dedup_against_seen(
     n_shards: int = 32,
     hash_col: str = "url_hash",
 ) -> DataFrame:
-    """New-only candidates: bloom pre-filter + exact left_anti backstop.
+    """New-only candidates: bloom pre-filter + exact backstop.
 
-    ``seen`` may be None/empty (first wave).  The left_anti join runs only
-    over bloom-positive rows — at design fpp that is |true seen ∩ wave| +
-    ~1% of the rest, so the shuffle is a fraction of the naive plan's.
+    ``seen`` may be None/empty (first wave).  The exact check never
+    shuffles the seen set: a broadcast left-semi streams seen once and
+    keeps only hashes that occur in the wave (≤ wave_budget rows), and the
+    anti-join then runs against that small broadcast.  With blobs, only
+    bloom-positive rows reach the backstop — at design fpp that is
+    |true seen ∩ wave| + ~1% of the rest.
     """
     if seen is None:
         return candidates
+
+    def _anti_streaming(cand: DataFrame) -> DataFrame:
+        keys = cand.select(F.col(hash_col)).distinct()
+        hits = seen.select(F.col(hash_col)).join(
+            F.broadcast(keys), hash_col, "left_semi"
+        )
+        return cand.join(F.broadcast(hits), hash_col, "left_anti")
+
     if blobs is not None:
         marked = mark_maybe_seen(candidates, blobs, n_shards, hash_col)
         fresh = marked.filter(~F.col("maybe_seen")).drop("maybe_seen")
         suspect = marked.filter(F.col("maybe_seen")).drop("maybe_seen")
-        survivors = suspect.join(
-            seen.select(F.col(hash_col).alias(hash_col)).distinct(),
-            hash_col,
-            "left_anti",
-        )
-        return fresh.unionByName(survivors)
-    return candidates.join(
-        seen.select(F.col(hash_col).alias(hash_col)).distinct(),
-        hash_col,
-        "left_anti",
-    )
+        return fresh.unionByName(_anti_streaming(suspect))
+    return _anti_streaming(candidates)
 
 
 # ---------------------------------------------------------------------------

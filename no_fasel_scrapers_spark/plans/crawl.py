@@ -57,7 +57,11 @@ from ..operators.frontier import (
 )
 from ..operators.politeness import politeness_metrics, schedule_fetches
 from ..operators.robots import apply_robots
-from ..operators.seen_filter import build_filter_blobs, dedup_against_seen
+from ..operators.seen_filter import (
+    build_filter_blobs,
+    dedup_against_seen,
+    merge_filter_blobs,
+)
 from ..sources.catalog import Catalog
 
 PASSTHROUGH = ["site", "category", "depth", "priority", "url_template"]
@@ -124,6 +128,7 @@ def run_crawl(
     n_salts: int = 8,
     n_shards: int = 32,
     bloom_min_seen: int = 50_000,
+    expected_urls: int = 2_000_000,
     seen_prior: DataFrame | None = None,
     recrawl: DataFrame | None = None,
     audit: bool = False,
@@ -182,6 +187,19 @@ def run_crawl(
     robots_b = robots
     wave_no = start_wave
 
+    # Bloom blobs are maintained INCREMENTALLY: built once from the full
+    # seen set when it first crosses bloom_min_seen (or restored from the
+    # catalog on resume), then each wave ORs in a pinned-size delta blob —
+    # O(filter bytes) per wave, never an O(|seen|) rebuild.  (m, k) are
+    # pinned from expected_urls so delta blobs stay OR-mergeable; blowing
+    # past the estimate only degrades fpp, the exact backstop keeps dedup
+    # exact.  Stale bits after recrawl invalidation are likewise safe:
+    # bloom false positives are always corrected by the backstop.
+    n_per_shard = max(1, expected_urls // n_shards)
+    blobs = (
+        catalog.read(spark, "blobs") if catalog.exists("blobs") else None
+    )
+
     while wave_no < max_waves:
         t_ms: dict = {}
         _t0 = time.monotonic()
@@ -208,15 +226,16 @@ def run_crawl(
         allowed, _blocked = apply_robots(wave, robots_b)
         allowed = allowed.observe(obs_allowed, F.count(F.lit(1)).alias("n"))
 
-        # Bloom blobs are the 10^10-scale pre-filter; below the threshold
-        # the exact left_anti backstop alone is cheaper than building +
-        # probing blobs (two extra Python stages per wave).  Semantics are
-        # identical either way — the backstop guarantees exactness.
-        blobs = (
-            build_filter_blobs(seen, n_shards)
-            if seen_count >= bloom_min_seen
-            else None
-        )
+        # Below bloom_min_seen the exact backstop alone is cheaper than
+        # building + probing blobs (two extra Python stages per wave);
+        # semantics are identical either way.  First crossing builds the
+        # blobs once from the full seen set.
+        if blobs is None and seen_count >= bloom_min_seen:
+            blobs = build_filter_blobs(
+                seen, n_shards, n_expected_per_shard=n_per_shard
+            )
+            catalog.write(blobs, "blobs", meta={"wave": wave_no})
+            blobs = catalog.read(spark, "blobs")
         fresh = dedup_against_seen(allowed, seen, blobs, n_shards)
         scheduled = schedule_fetches(fresh, robots_b, n_salts).observe(
             obs_sched,
@@ -305,6 +324,17 @@ def run_crawl(
             seen_delta, "seen", meta={"wave": wave_no, "kind": "delta"}
         )
         seen = catalog.read_log(spark, "seen")
+        if blobs is not None:
+            # OR the wave's delta into the standing blobs (pinned size) and
+            # checkpoint; read-back keeps the blob lineage flat across waves
+            delta_blobs = build_filter_blobs(
+                seen_delta.select("url_hash"),
+                n_shards,
+                n_expected_per_shard=n_per_shard,
+            )
+            blobs = merge_filter_blobs(blobs, delta_blobs)
+            catalog.write(blobs, "blobs", meta={"wave": wave_no})
+            blobs = catalog.read(spark, "blobs")
         _mark("seen_checkpoint")
 
         # ---- next frontier -------------------------------------------------

@@ -139,3 +139,25 @@ class TestBudgetAndIncremental:
             for r in res.seen.filter(F.col("wave") >= 0).collect()
         )
         assert got == sorted(oracle_p.orders)
+
+
+class TestBloomPathInLoop:
+    def test_bloom_path_same_result(
+        self, spark, fixture, tmp_path_factory, crawl_result
+    ):
+        """Active incremental blobs (bloom_min_seen=0) must not change the
+        crawl outcome: blob maintenance + probe + backstop == exact path."""
+        res = _crawl(
+            spark, fixture, tmp_path_factory.mktemp("crawlbloom"), "cb",
+            bloom_min_seen=0, expected_urls=10_000,
+        )
+        a = sorted(
+            (r["url"], r["wave"]) for r in res.extracted.collect()
+        )
+        b = sorted(
+            (r["url"], r["wave"]) for r in crawl_result.extracted.collect()
+        )
+        assert a == b
+        assert [l["attempted"] for l in res.lineage] == [
+            l["attempted"] for l in crawl_result.lineage
+        ]

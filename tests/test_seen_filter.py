@@ -100,3 +100,63 @@ class TestDistributedDedup:
         )
         out = dedup_against_seen(cand, None, None)
         assert out.count() == 10
+
+
+class TestIncrementalBlobs:
+    """merge_filter_blobs: OR of pinned-size delta blobs == one-shot build."""
+
+    def test_incremental_equals_rebuild(self, spark):
+        from no_fasel_scrapers_spark.operators.seen_filter import (
+            merge_filter_blobs,
+        )
+
+        n_shards = 8
+        nps = 1000
+        a = spark.range(0, 4000).select(
+            F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+        )
+        b = spark.range(4000, 7000).select(
+            F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+        )
+        merged = merge_filter_blobs(
+            build_filter_blobs(a, n_shards, n_expected_per_shard=nps),
+            build_filter_blobs(b, n_shards, n_expected_per_shard=nps),
+        )
+        full = build_filter_blobs(
+            a.unionByName(b), n_shards, n_expected_per_shard=nps
+        )
+        m = {r["shard"]: r for r in merged.collect()}
+        f = {r["shard"]: r for r in full.collect()}
+        assert set(m) == set(f)
+        for s in f:
+            assert bytes(m[s]["bits"]) == bytes(f[s]["bits"]), s
+            assert m[s]["n_items"] == f[s]["n_items"]
+            assert (m[s]["m"], m[s]["k"]) == (f[s]["m"], f[s]["k"])
+
+    def test_merge_rejects_mismatched_sizing(self, spark):
+        from no_fasel_scrapers_spark.operators.seen_filter import (
+            merge_filter_blobs,
+        )
+
+        a = spark.range(0, 500).select(
+            F.xxhash64(F.col("id").cast("string")).alias("url_hash")
+        )
+        x = build_filter_blobs(a, 4, n_expected_per_shard=100)
+        y = build_filter_blobs(a, 4, n_expected_per_shard=9999)
+        with pytest.raises(Exception, match="cannot OR-merge|PythonException"):
+            merge_filter_blobs(x, y).collect()
+
+    def test_dedup_streaming_anti_matches_naive(self, spark):
+        cand = spark.range(0, 2000).select(
+            F.col("id").alias("event_id"),
+            F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        )
+        seen = cand.filter(F.col("event_id") % 3 == 0).select("url_hash")
+        blobs = build_filter_blobs(seen, 8, n_expected_per_shard=500)
+        for bl in (None, blobs):
+            got = sorted(
+                r["event_id"]
+                for r in dedup_against_seen(cand, seen, bl, 8).collect()
+            )
+            want = sorted(i for i in range(2000) if i % 3 != 0)
+            assert got == want, "blobs" if bl is not None else "exact"
