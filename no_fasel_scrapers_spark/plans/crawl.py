@@ -18,14 +18,18 @@ Every wave checkpoints to the snapshot catalog with per-partition lineage
 (wave id, host, rows fetched/deduped) so a killed job resumes exactly
 (north_rule); ``resume_crawl`` proves it in tests/test_resume.py.
 
-Scale notes (100 TB / 10^10 URLs):
-- the pages table is scanned via a hash join keyed on ``url_hash``; per
-  wave the frontier side is small → Spark broadcasts it (AQE), so "fetch"
-  is one pass over the relevant pages partitions, no global shuffle of
-  the big side;
-- the seen set is never broadcast and never rewritten: per-wave deltas are
-  appended (catalog append-log) and summarized into bloom blobs; the exact
-  backstop join touches only bloom-positive rows;
+Scale notes (100 TB / 10^10 URLs) — the big tables are never shuffled:
+- "fetch": a broadcast left-semi streams the pages table once per wave,
+  reduced to the wave's url_hashes; the outer join then runs between two
+  wave-sized inputs.  No shuffle of the corpus, ever;
+- the seen set is append-only (per-wave O(delta) snapshots, read_log
+  reassembly, atomic 'compact' markers for recrawl invalidation) and its
+  exact-dedup check streams it the same semi-reduce way — the anti-join
+  runs against the wave-bounded hit set, broadcast;
+- bloom blobs are incremental: pinned (m, k) sizing from expected_urls,
+  per-wave delta build + per-shard OR merge (O(filter bytes) per wave),
+  checkpointed and restored on resume; only bloom-positive rows reach the
+  exact backstop;
 - a global audit rank is OFF by default (single-partition window); the
   deterministic order still exists logically via the (priority, depth,
   url_hash) key.
