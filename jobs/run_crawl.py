@@ -38,6 +38,12 @@ def main() -> None:
     ap.add_argument("--max-waves", type=int, default=24)
     ap.add_argument("--n-salts", type=int, default=8)
     ap.add_argument("--n-shards", type=int, default=32)
+    ap.add_argument(
+        "--expected-urls", type=int, default=2_000_000,
+        help="crawl-size estimate that pins the bloom blob sizing "
+             "(incremental OR-merge requires fixed m,k; overshoot only "
+             "degrades fpp, the exact backstop keeps dedup exact)",
+    )
     ap.add_argument("--audit", action="store_true")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument(
@@ -75,6 +81,7 @@ def main() -> None:
     kw = dict(
         wave_budget=args.wave_budget, max_waves=args.max_waves,
         n_salts=args.n_salts, n_shards=args.n_shards, audit=args.audit,
+        expected_urls=args.expected_urls,
     )
     if args.seen_prior:
         kw["seen_prior"] = spark.read.parquet(args.seen_prior)
