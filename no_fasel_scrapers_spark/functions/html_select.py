@@ -241,6 +241,9 @@ _ATTR_LEAD = re.compile(r"(?:\s|/(?!>))*")
 _INCOMPLETE_NEXT = frozenset(
     "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 )
+# _markupbase comment close: '--' + optional whitespace + '>' (NOT just the
+# literal '-->'), so '<!--x-- >' closes exactly like stdlib
+_COMMENT_CLOSE = re.compile(r"--\s*>")
 # _markupbase marked-section grammar: <![cdata[...]]> / <![if ...]>
 _DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
 _MS_CLOSE = re.compile(r"]\s*]\s*>")
@@ -332,9 +335,9 @@ def parse_html(html: bytes | str) -> Node:
         c = s[lt + 1 : lt + 2]
         if c == "!":
             if s.startswith("<!--", lt):
-                end = find("-->", lt + 4)
-                if end >= 0:
-                    i = end + 3
+                cm = _COMMENT_CLOSE.search(s, lt + 4)
+                if cm is not None:
+                    i = cm.end()
                     continue
             elif s.startswith("<![", lt):
                 nm = _DECLNAME.match(s, lt + 3)

@@ -116,7 +116,9 @@ def repartition_for_fetch(wave: DataFrame, n_partitions: int | None = None) -> D
     return wave.repartition("host", "host_salt")
 
 
-def expand_pagination_df(probes: DataFrame, n_salts: int = 8) -> DataFrame:
+def expand_pagination_df(
+    probes: DataFrame, n_salts: int = 8, max_pages: int = 100_000
+) -> DataFrame:
     """Distributed pagination expansion (O4/O5): probe rows → one listing
     frontier row per page 1..last_page.
 
@@ -126,6 +128,11 @@ def expand_pagination_df(probes: DataFrame, n_salts: int = 8) -> DataFrame:
     constant size regardless of probe count, so a wave that discovers a
     million listing extents expands entirely on executors.  This replaces
     the reference's split_into_ranges + thread pools (O13) outright.
+
+    ``max_pages`` clamps each probe's extent: ``sequence`` materializes
+    the range as one in-memory array per probe row, so a single corrupt
+    page whose parsed last_page is absurd must degrade to a bounded
+    expansion, not an executor OOM / array-size error that kills the wave.
     """
     ex = (
         probes.filter(
@@ -137,7 +144,12 @@ def expand_pagination_df(probes: DataFrame, n_salts: int = 8) -> DataFrame:
             "site", "category", "url_template", "depth", "priority",
             "from_url",
             F.explode(
-                F.sequence(F.lit(1), F.col("last_page").cast("int"))
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.col("last_page").cast("int"), F.lit(max_pages)
+                    ),
+                )
             ).alias("page"),
         )
         .select(

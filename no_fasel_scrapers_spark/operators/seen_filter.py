@@ -221,25 +221,32 @@ def dedup_against_seen(
     blobs: DataFrame | None,
     n_shards: int = 32,
     hash_col: str = "url_hash",
+    broadcast_hint: bool = True,
 ) -> DataFrame:
     """New-only candidates: bloom pre-filter + exact backstop.
 
     ``seen`` may be None/empty (first wave).  The exact check never
-    shuffles the seen set: a broadcast left-semi streams seen once and
-    keeps only hashes that occur in the wave (≤ wave_budget rows), and the
-    anti-join then runs against that small broadcast.  With blobs, only
-    bloom-positive rows reach the backstop — at design fpp that is
-    |true seen ∩ wave| + ~1% of the rest.
+    shuffles the seen set: a left-semi streams seen once and keeps only
+    hashes that occur in the wave, and the anti-join then runs against
+    that small set.  ``broadcast_hint=True`` pins the broadcast (right
+    when candidates are known budget-bounded); with ``False`` the strategy
+    is left to AQE, which still broadcasts small runtime sizes but can
+    fall back instead of exceeding the broadcast cap on an unbounded
+    candidate set.  With blobs, only bloom-positive rows reach the
+    backstop — at design fpp that is |true seen ∩ wave| + ~1% of the rest.
     """
     if seen is None:
         return candidates
 
+    def _hint(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_hint else df
+
     def _anti_streaming(cand: DataFrame) -> DataFrame:
         keys = cand.select(F.col(hash_col)).distinct()
         hits = seen.select(F.col(hash_col)).join(
-            F.broadcast(keys), hash_col, "left_semi"
+            _hint(keys), hash_col, "left_semi"
         )
-        return cand.join(F.broadcast(hits), hash_col, "left_anti")
+        return cand.join(_hint(hits), hash_col, "left_anti")
 
     if blobs is not None:
         marked = mark_maybe_seen(candidates, blobs, n_shards, hash_col)

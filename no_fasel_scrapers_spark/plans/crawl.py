@@ -226,7 +226,10 @@ def run_crawl(
         obs_wave, obs_allowed, obs_sched = (
             Observation(), Observation(), Observation(),
         )
-        wave = wave.observe(obs_wave, F.count(F.lit(1)).alias("n"))
+        # persist wave: its subplan (frontier sort + top-K) is referenced
+        # from both dedup union branches and the fetch path — caching runs
+        # it once per wave instead of per duplicate subtree
+        wave = wave.observe(obs_wave, F.count(F.lit(1)).alias("n")).persist()
         allowed, _blocked = apply_robots(wave, robots_b)
         allowed = allowed.observe(obs_allowed, F.count(F.lit(1)).alias("n"))
 
@@ -240,7 +243,15 @@ def run_crawl(
             )
             catalog.write(blobs, "blobs", meta={"wave": wave_no})
             blobs = catalog.read(spark, "blobs")
-        fresh = dedup_against_seen(allowed, seen, blobs, n_shards)
+        # a broadcast hint is only safe when the wave is budget-bounded;
+        # unbudgeted runs leave the join strategy to AQE (which still
+        # broadcasts small runtime sizes, and falls back instead of OOMing)
+        bounded_wave = (
+            wave_budget is not None and wave_budget <= 50_000_000
+        )
+        fresh = dedup_against_seen(
+            allowed, seen, blobs, n_shards, broadcast_hint=bounded_wave
+        )
         scheduled = schedule_fetches(fresh, robots_b, n_salts).observe(
             obs_sched,
             F.count(F.lit(1)).alias("n"),
@@ -261,9 +272,9 @@ def run_crawl(
         # broadcasts.  The broadcast is one 8-byte hash per wave row,
         # bounded by wave_budget.
         wave_keys = scheduled.select("url_hash")
-        pages_wave = pages_k.join(
-            F.broadcast(wave_keys), "url_hash", "left_semi"
-        )
+        if bounded_wave:
+            wave_keys = F.broadcast(wave_keys)
+        pages_wave = pages_k.join(wave_keys, "url_hash", "left_semi")
         fetched = repartition_for_fetch(
             scheduled.join(pages_wave, "url_hash", "left").filter(
                 F.col("p_url").isNull() | (F.col("p_url") == F.col("url"))
@@ -414,6 +425,7 @@ def run_crawl(
             meta={"wave": wave_no},
         )
         scheduled.unpersist()
+        wave.unpersist()
         wave_no += 1
 
     extracted_all = (

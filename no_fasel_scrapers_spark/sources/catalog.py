@@ -26,8 +26,24 @@ import os
 import shutil
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Observation, SparkSession
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _footer_row_count(data_dir: str) -> int:
+    """Sum of row counts from the parquet footers under ``data_dir``
+    (recursive, so partitioned layouts count too).  Metadata-only reads on
+    the driver — exact and job-free for the local backend; the Iceberg
+    binding gets this from the snapshot summary instead."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in glob.glob(
+        os.path.join(data_dir, "**", "*.parquet"), recursive=True
+    ):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
 
 
 @dataclass
@@ -90,16 +106,14 @@ class Catalog:
         prev = self.latest(name)
         version = 0 if prev is None else prev.version + 1
         data_dir = os.path.join(self._tdir(name), f"v{version}")
-        # manifest row count observed during the write action itself — no
-        # second count() job over the freshly written files
-        obs = Observation()
-        writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-            "overwrite"
-        )
+        writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        rows = int(obs.get["n"])
+        # exact manifest row count from the committed files' parquet
+        # footers, read driver-side — no Spark job, and (unlike an
+        # Observation on the write) immune to task-retry over-counting
+        rows = _footer_row_count(data_dir)
         manifest = {
             "version": version,
             "rows": rows,

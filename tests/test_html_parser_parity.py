@@ -94,6 +94,10 @@ EDGE_CASES = [
     "pre<![CDATA[</p>]]><p>z</p>",
     '<a b="<!-tag><em &amp;<b/>text &x',
     "&#6<!-- c --><div>&x</div>",  # invalid charref unescapes to ''
+    "<!--x-- >y<p>z</p>",  # comment closes on '--' + whitespace + '>'
+    "<!--a--  >b",
+    "<!--x--->y",
+    "<!-- -- > -->t",
 ]
 
 
@@ -115,7 +119,7 @@ FRAGS = [
     " attr=1>", "</", "tag>", "<b/>", "&x", "<a b=", '="v">', "<em ",
     "/>", "<!-", "-->", "<?", "<![CDATA[", "]]>", "=", '<a b="',
     "<a b='", "<", "]]", "-", "&#6", "&#x41", "&am", ";", "&#",
-    "<sp an>", "</p ", "= ", '"q"',
+    "<sp an>", "</p ", "= ", '"q"', "-- >", "--", " >",
 ]
 
 
