@@ -565,6 +565,32 @@ def q_url_canonicalize(spark, sf_dir):
 # training-data operators
 # ---------------------------------------------------------------------------
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (temporal op absent in both the reference and Spark
+    built-ins): every view event + the latest purchase at-or-before it per
+    user — one window shuffle, DuckDB ASOF JOIN as the oracle."""
+    from no_fasel_scrapers_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    out = asof_join(views, purchases, on="user_id", ts="ts")
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        F.date_format("__asof_ts", "yyyy-MM-dd HH:mm:ss").alias(
+            "purchase_ts"
+        ),
+    )
+
+
 def q_chunk_documents(spark, sf_dir):
     """Document chunking (training-data op): 32-token windows, stride 16 —
     pure columns (split → sequence → posexplode → slice), zero shuffle."""
@@ -880,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_schedule": q_politeness_schedule,
         "seen_filter_dedup": q_seen_filter_dedup,
         "url_canonicalize": q_url_canonicalize,
+        "asof_join": q_asof_join,
         "chunk_documents": q_chunk_documents,
         "exact_dedup": q_exact_dedup,
         "text_stats": q_text_stats,
@@ -912,6 +939,21 @@ ORDER BY host
 def oracle_sql() -> dict[str, str]:
     return {
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "asof_join": """
+            WITH v AS (
+                SELECT user_id, ts, event_id FROM events
+                WHERE event_type = 'view'
+            ), p AS (
+                SELECT user_id, ts, MAX(value) AS purchase_value
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            )
+            SELECT v.user_id, v.event_id,
+                   ROUND(p.purchase_value, 6) AS purchase_value,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+            FROM v ASOF LEFT JOIN p
+              ON v.user_id = p.user_id AND v.ts >= p.ts
+        """,
         "chunk_documents": """
             WITH d AS (
                 SELECT doc_id,

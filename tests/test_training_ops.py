@@ -309,3 +309,45 @@ def test_chunk_documents_no_shuffle(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = chunk_documents(df, size=2)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# as-of join (operators/asof.py)
+# ---------------------------------------------------------------------------
+
+def test_asof_join_matches_python(spark):
+    from no_fasel_scrapers_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 7, "d"), (3, 9, "e")],
+        "k long, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 15, 2.0), (1, 1, 0.5), (2, 8, 9.0)],
+        "k long, ts long, v double",
+    )
+    got = {
+        (r["k"], r["ts"]): (r["v"], r["__asof_ts"])
+        for r in asof_join(left, right, on="k", ts="ts").collect()
+    }
+    # ties match (ts >= right.ts); no preceding right row → nulls
+    assert got == {
+        (1, 10): (1.0, 10),   # exact-tie match
+        (1, 20): (2.0, 15),
+        (1, 5): (0.5, 1),
+        (2, 7): (None, None),  # right row at ts=8 is in the future
+        (3, 9): (None, None),  # key absent on the right
+    }
+
+
+def test_asof_join_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    from no_fasel_scrapers_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 100, "x")], "k long, ts long, tag string")
+    right = spark.createDataFrame([(1, 10, 7.0)], "k long, ts long, v double")
+    near = asof_join(left, right, on="k", ts="ts", tolerance=F.lit(100))
+    far = asof_join(left, right, on="k", ts="ts", tolerance=F.lit(50))
+    assert near.collect()[0].v == 7.0
+    assert far.collect()[0].v is None  # match outside tolerance → nulls
