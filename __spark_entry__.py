@@ -591,6 +591,30 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Range (point-in-interval) join via bucket decomposition — one hash
+    shuffle instead of the nested-loop plan Catalyst picks for BETWEEN
+    join conditions; DuckDB's IEJoin is the oracle."""
+    from no_fasel_scrapers_spark.operators.rangejoin import range_join
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    pts = c.select(
+        F.col("c_nationkey").alias("nk"), "c_custkey", "c_acctbal"
+    )
+    ivs = s.select(
+        F.col("s_nationkey").alias("nk"),
+        "s_suppkey",
+        F.col("s_acctbal").alias("lo"),
+        (F.col("s_acctbal") + 500.0).alias("hi"),
+    )
+    out = range_join(
+        pts, ivs, on="nk", point_col="c_acctbal", lo_col="lo",
+        hi_col="hi", bucket_size=500.0,
+    )
+    return out.select("nk", "c_custkey", "s_suppkey", "c_acctbal", "lo")
+
+
 def q_chunk_documents(spark, sf_dir):
     """Document chunking (training-data op): 32-token windows, stride 16 —
     pure columns (split → sequence → posexplode → slice), zero shuffle."""
@@ -907,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_filter_dedup": q_seen_filter_dedup,
         "url_canonicalize": q_url_canonicalize,
         "asof_join": q_asof_join,
+        "range_join": q_range_join,
         "chunk_documents": q_chunk_documents,
         "exact_dedup": q_exact_dedup,
         "text_stats": q_text_stats,
@@ -953,6 +978,14 @@ def oracle_sql() -> dict[str, str]:
                    strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
             FROM v ASOF LEFT JOIN p
               ON v.user_id = p.user_id AND v.ts >= p.ts
+        """,
+        "range_join": """
+            SELECT c.c_nationkey AS nk, c.c_custkey, s.s_suppkey,
+                   c.c_acctbal, s.s_acctbal AS lo
+            FROM customer c JOIN supplier s
+              ON c.c_nationkey = s.s_nationkey
+             AND c.c_acctbal >= s.s_acctbal
+             AND c.c_acctbal <= s.s_acctbal + 500.0
         """,
         "chunk_documents": """
             WITH d AS (

@@ -351,3 +351,55 @@ def test_asof_join_tolerance(spark):
     far = asof_join(left, right, on="k", ts="ts", tolerance=F.lit(50))
     assert near.collect()[0].v == 7.0
     assert far.collect()[0].v is None  # match outside tolerance → nulls
+
+
+# ---------------------------------------------------------------------------
+# range join (operators/rangejoin.py)
+# ---------------------------------------------------------------------------
+
+def test_range_join_matches_naive(spark):
+    from no_fasel_scrapers_spark.operators.rangejoin import range_join
+
+    pts = spark.range(0, 300).select(
+        (F.col("id") % 5).alias("k"),
+        F.col("id").alias("pid"),
+        (F.col("id") * 7.3 % 97).alias("x"),
+    )
+    ivs = spark.range(0, 60).select(
+        (F.col("id") % 5).alias("k"),
+        F.col("id").alias("iid"),
+        (F.col("id") * 3.1 % 80).alias("lo"),
+        (F.col("id") * 3.1 % 80 + (F.col("id") % 7) * 4).alias("hi"),
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pts, ivs, on="k", point_col="x", lo_col="lo", hi_col="hi",
+            bucket_size=5.0,
+        ).collect()
+    )
+    naive = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.join(ivs, "k")
+        .filter((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        .collect()
+    )
+    assert got == naive and len(naive) > 0
+
+
+def test_range_join_wide_interval_fallback(spark):
+    from no_fasel_scrapers_spark.operators.rangejoin import range_join
+
+    pts = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 9999.0)], "k long, pid long, x double"
+    )
+    ivs = spark.createDataFrame(
+        [(1, 100, 0.0, 100000.0)], "k long, iid long, lo double, hi double"
+    )
+    # interval spans 100000/1 buckets >> cap → must still match via the
+    # key-equi fallback, not silently drop
+    out = range_join(
+        pts, ivs, on="k", point_col="x", lo_col="lo", hi_col="hi",
+        bucket_size=1.0, max_buckets_per_interval=64,
+    )
+    assert sorted(r["pid"] for r in out.collect()) == [10, 11]
