@@ -591,6 +591,28 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_training_prep(spark, sf_dir):
+    """Capstone training-data prep pipeline, oracle-checked end to end:
+    quality/lang gate → exact dedup → fixed-window chunking.  All stages
+    are the engine's own operators chained; two shuffles total (dedup
+    window + none for chunking)."""
+    from no_fasel_scrapers_spark.operators.chunking import chunk_documents
+    from no_fasel_scrapers_spark.operators.dedup import exact_dedup
+    from no_fasel_scrapers_spark.operators.textstats import with_text_stats
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = with_text_stats(d)
+    kept = stats.filter(
+        (F.col("lang_detected") == "en") & (F.col("quality") >= 0.55)
+    ).select("doc_id", "text")
+    ded = exact_dedup(kept, text_col="text", id_col="doc_id")
+    chunks = chunk_documents(ded, size=48, stride=48)
+    return chunks.select(
+        "doc_id", "chunk_id", "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def q_range_join(spark, sf_dir):
     """Range (point-in-interval) join via bucket decomposition — one hash
     shuffle instead of the nested-loop plan Catalyst picks for BETWEEN
@@ -932,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "training_prep": q_training_prep,
         "chunk_documents": q_chunk_documents,
         "exact_dedup": q_exact_dedup,
         "text_stats": q_text_stats,
@@ -978,6 +1001,57 @@ def oracle_sql() -> dict[str, str]:
                    strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
             FROM v ASOF LEFT JOIN p
               ON v.user_id = p.user_id AND v.ts >= p.ts
+        """,
+        "training_prep": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       CAST(len(list_filter(
+                            string_split_regex(lower(trim(text)), '\\s+'),
+                            x -> x IN ('the','a','an','and','or','of','to',
+                                       'in','is','it','for','on','with','as',
+                                       'at','by','be','this','that','from')))
+                            AS DOUBLE)
+                       / len(string_split_regex(trim(text), '\\s+')) AS stop,
+                       CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                            AS DOUBLE) / length(text) AS punct,
+                       CAST(length(text) AS DOUBLE) AS n
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, text,
+                       least(n / 500.0, 1.0) * 0.4
+                       + greatest(0.0, 1.0 - punct * 4.0) * 0.3
+                       + least(stop * 5.0, 1.0) * 0.3 AS quality,
+                       CASE WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0
+                                 AND stop >= 0.05 THEN 'en'
+                            WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0
+                            THEN 'latin-other' ELSE 'unknown' END AS lang_d
+                FROM t
+            ), kept AS (
+                SELECT doc_id, text FROM scored
+                WHERE lang_d = 'en' AND quality >= 0.55
+            ), ded AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                              ORDER BY doc_id) AS rn
+                    FROM kept
+                ) WHERE rn = 1
+            ), toks AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS tk
+                FROM ded WHERE text IS NOT NULL AND trim(text) <> ''
+            ), c AS (
+                SELECT doc_id, tk,
+                       CAST(ceil(len(tk) / 48.0) AS INT) AS n_chunks
+                FROM toks
+            )
+            SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                   CAST(len(tk[i*48+1 : least(i*48+48, len(tk))]) AS INT)
+                       AS n_tokens,
+                   md5(array_to_string(
+                       tk[i*48+1 : least(i*48+48, len(tk))], ' '))
+                       AS chunk_md5
+            FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
         """,
         "range_join": """
             SELECT c.c_nationkey AS nk, c.c_custkey, s.s_suppkey,
