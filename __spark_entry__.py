@@ -1012,7 +1012,7 @@ def oracle_sql() -> dict[str, str]:
                                        'at','by','be','this','that','from')))
                             AS DOUBLE)
                        / len(string_split_regex(trim(text), '\\s+')) AS stop,
-                       CAST(len(regexp_extract_all(text, '[^\\w\\s]'))
+                       CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]'))
                             AS DOUBLE) / length(text) AS punct,
                        CAST(length(text) AS DOUBLE) AS n
                 FROM documents
@@ -1348,7 +1348,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text,
                        CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens_ws,
                        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens_bpe,
-                       CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) / length(text) AS punct,
+                       CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) / length(text) AS punct,
                        CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                             x -> x IN ('the','a','an','and','or','of','to','in','is','it','for',
                                        'on','with','as','at','by','be','this','that','from')))

@@ -45,14 +45,21 @@ def asof_join(
     as ``__asof_ts`` alongside the right value columns.
     """
     val_cols = [c for c in right.columns if c not in (on, ts)]
+    # the right row is carried as ONE struct so the match stays row-atomic:
+    # carrying columns independently with last(ignorenulls) would pair a
+    # newer row's timestamp with an older row's value whenever the matched
+    # row legitimately holds NULL in a value column
+    r_struct = F.struct(
+        F.col(ts).alias("__ts"), *[F.col(c) for c in val_cols]
+    )
     l_tag = left.select(
         F.col(on),
         F.col(ts),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in left.columns if c not in (on, ts)],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-          for c in val_cols],
-        F.lit(None).cast(right.schema[ts].dataType).alias("__r_ts"),
+        F.lit(None).cast(
+            right.select(r_struct.alias("__r")).schema["__r"].dataType
+        ).alias("__r"),
     )
     r_tag = right.select(
         F.col(on),
@@ -60,8 +67,7 @@ def asof_join(
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in (on, ts)],
-        *[F.col(c).alias(f"__r_{c}") for c in val_cols],
-        F.col(ts).alias("__r_ts"),
+        r_struct.alias("__r"),
     )
     u = l_tag.unionByName(r_tag)
     # right rows sort before left rows at equal ts → ties are matched
@@ -71,27 +77,22 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
-        "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__c_{c}")
-            for c in val_cols
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias("__c_ts"),
+        "*", F.last("__r", ignorenulls=True).over(w).alias("__c")
     )
     out = carried.filter(F.col("__side") == 1)
     in_tol = (
         F.lit(True)
         if tolerance is None
-        else (F.col(ts) - F.col("__c_ts")) <= tolerance
+        else (F.col(ts) - F.col("__c.__ts")) <= tolerance
     )
-    keep = F.col("__c_ts").isNotNull() & in_tol
+    keep = F.col("__c").isNotNull() & in_tol
     return out.select(
         on,
         ts,
         *[c for c in left.columns if c not in (on, ts)],
         *[
-            F.when(keep, F.col(f"__c_{c}")).alias(c)
+            F.when(keep, F.col(f"__c.{c}")).alias(c)
             for c in val_cols
         ],
-        F.when(keep, F.col("__c_ts")).alias("__asof_ts"),
+        F.when(keep, F.col("__c.__ts")).alias("__asof_ts"),
     )

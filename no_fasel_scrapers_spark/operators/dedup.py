@@ -36,15 +36,20 @@ def exact_dedup(
     """Keep the lowest-id representative per exact text hash.
 
     One shuffle on the 128-bit content hash; row_number picks the canonical
-    survivor deterministically."""
+    survivor deterministically.  Rows with NULL text pass through
+    untouched — md5(NULL) is NULL for all of them, and deduping them into
+    one survivor would silently drop every not-yet-extracted document."""
+    with_text = df.filter(F.col(text_col).isNotNull())
+    null_text = df.filter(F.col(text_col).isNull())
     h = F.md5(F.col(text_col))
     w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__h", h)
+    deduped = (
+        with_text.withColumn("__h", h)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__h", "__rn")
     )
+    return deduped.unionByName(null_text)
 
 
 # ---------------------------------------------------------------------------

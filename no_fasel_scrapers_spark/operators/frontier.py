@@ -146,9 +146,12 @@ def expand_pagination_df(
             F.explode(
                 F.sequence(
                     F.lit(1),
+                    # clamp on the WIDE type first: casting a corrupt long
+                    # to int can wrap negative and defeat the guard
                     F.least(
-                        F.col("last_page").cast("int"), F.lit(max_pages)
-                    ),
+                        F.col("last_page").cast("long"),
+                        F.lit(max_pages).cast("long"),
+                    ).cast("int"),
                 )
             ).alias("page"),
         )

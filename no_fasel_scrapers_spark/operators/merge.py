@@ -23,15 +23,24 @@ def union_with_precedence(
     """unionByName + keep one row per key by precedence.
 
     old_wins=True reproduces ``new | old``; False reproduces
-    ``old.update(new)``.  Deterministic within a side via the key ordering.
-    ``key`` may be a single column or a composite key list (e.g. the
-    content tables key on (site, category, item_id)).
+    ``old.update(new)``.  ``key`` may be a single column or a composite key
+    list (e.g. the content tables key on (site, category, item_id)).
+
+    Ties WITHIN a side (duplicate keys in old or in new) break on a
+    content hash of the whole row, so repeated runs publish the identical
+    snapshot regardless of partitioning — the deterministic-resume
+    contract the catalog is built on.
     """
     keys = [key] if isinstance(key, str) else list(key)
     o = old.withColumn("__rank", F.lit(0 if old_wins else 1))
     n = new.withColumn("__rank", F.lit(1 if old_wins else 0))
     u = o.unionByName(n, allowMissingColumns=True)
-    w = Window.partitionBy(*keys).orderBy(F.col("__rank").asc())
+    row_fingerprint = F.xxhash64(
+        F.to_json(F.struct(*[c for c in u.columns if c != "__rank"]))
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__rank").asc(), row_fingerprint.asc()
+    )
     return (
         u.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

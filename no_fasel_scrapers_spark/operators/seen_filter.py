@@ -298,14 +298,18 @@ class CuckooFilter:
             if len(empty):
                 row[empty[0]] = fp
                 return True
-        # kick loop
+        # kick loop — journaled so a failed insert rolls back and never
+        # drops a live fingerprint (a lost fingerprint would be a false
+        # negative, which the whole filter contract forbids)
         i = i1
         cur = fp
+        journal: list[tuple[int, int]] = []
         rng_state = h & 0xFFFFFFFF
         mask = self.n_buckets - 1
         for _ in range(self.MAX_KICKS):
             rng_state = (rng_state * 1103515245 + 12345) & 0x7FFFFFFF
             slot = rng_state % self.SLOTS
+            journal.append((i, slot))
             cur, self.table[i][slot] = int(self.table[i][slot]), cur
             i = (i ^ (cur * 0x5BD1E995)) & mask
             row = self.table[i]
@@ -313,7 +317,11 @@ class CuckooFilter:
             if len(empty):
                 row[empty[0]] = cur
                 return True
-        return False  # table full — caller resizes
+        # table full: undo the displacement chain (the swap is its own
+        # inverse when replayed in reverse), then report failure
+        for b, s in reversed(journal):
+            cur, self.table[b][s] = int(self.table[b][s]), cur
+        return False  # caller resizes/rebuilds; table is unchanged
 
     def contains(self, h: int) -> bool:
         fp = self._fingerprint(h)
@@ -452,7 +460,9 @@ def update_cuckoo_blobs(
             if not cf.insert(int(x)):
                 # fingerprints alone can't be rehashed into a bigger table;
                 # a full rebuild from the exact seen set is the caller's job
-                # (build_cuckoo_blobs) — signal via the n_items=-1 sentinel
+                # (build_cuckoo_blobs) — signal via the n_items=-1 sentinel.
+                # insert() rolled back its kick chain, so the published
+                # blob still answers correctly for every prior key
                 n_items = -1
                 break
             n_items += 1
@@ -528,7 +538,9 @@ def invalidate_recrawl(
     keys = recrawl.select(F.col(hash_col)).distinct()
     new_seen = seen.join(keys, hash_col, "left_anti")
     new_blobs = (
-        update_cuckoo_blobs(cuckoo_blobs, deletes=keys, n_shards=n_shards)
+        update_cuckoo_blobs(
+            cuckoo_blobs, deletes=keys, n_shards=n_shards, hash_col=hash_col
+        )
         if cuckoo_blobs is not None
         else None
     )

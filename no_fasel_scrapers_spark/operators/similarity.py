@@ -20,11 +20,6 @@ from pyspark.sql.window import Window
 from .dedup import cosine_sim, plane_weight
 
 
-def _norm(v: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
-    )
-
 
 def brute_force_topk(
     corpus: DataFrame,

@@ -38,9 +38,13 @@ def token_count_bpe(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
+    # Unicode-aware non-word class: Java regex \w is ASCII-only, which
+    # would count every Arabic/CJK letter as punctuation and zero the
+    # quality score's punct term for exactly the corpora this engine
+    # targets
     n = F.length(text)
     return F.when(n == 0, F.lit(0.0)).otherwise(
-        F.regexp_count(text, F.lit(r"[^\w\s]")) / n.cast("double")
+        F.regexp_count(text, F.lit(r"[^\p{L}\p{N}_\s]")) / n.cast("double")
     )
 
 

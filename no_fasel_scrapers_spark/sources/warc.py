@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import glob
 import gzip
-import io
 import json
 import os
 import uuid
@@ -156,6 +155,9 @@ class WarcReader(DataSourceReader):
                 yield f
 
     def _file_may_match(self, path: str) -> bool:
+        # pushed filters combine with AND (Spark's pushFilters contract):
+        # a row must satisfy EVERY accepted prefix, so the file can be
+        # pruned as soon as ANY prefix has no candidate host in the sidecar
         if not self._url_prefixes:
             return True
         sidecar = path + ".hosts.json"
@@ -169,30 +171,37 @@ class WarcReader(DataSourceReader):
         for prefix in self._url_prefixes:
             ph = urlsplit(prefix).netloc
             if not ph:                        # prefix shorter than a host
-                return True
+                continue                     # can't disprove this one
             # prefix may itself be a partial host ("https://ak")
             if prefix.endswith(ph) and not urlsplit(prefix).path:
-                if any(h.startswith(ph) or h == ph for h in hosts):
-                    return True
-            elif ph in hosts:
-                return True
-        return False
+                if not any(h.startswith(ph) or h == ph for h in hosts):
+                    return False
+            elif ph not in hosts:
+                return False
+        return True
 
     def partitions(self):
-        return [
+        parts = [
             _WarcFilePartition(p)
             for p in _list_warc_files(self.path)
             if self._file_may_match(p)
         ]
+        # Spark's Python DataSource API rejects an empty partition list
+        # (read(None) is called); a sentinel empty partition yields 0 rows
+        return parts or [_WarcFilePartition(None)]
 
     def read(self, partition: _WarcFilePartition):
+        if partition is None or partition.path is None:
+            return
         prefixes = self._url_prefixes
         with _open(partition.path) as fh:
             for headers, block in iter_warc_records(fh):
                 if headers.get("warc-type") != "response":
                     continue
                 url = headers.get("warc-target-uri", "")
-                if prefixes and not any(url.startswith(p) for p in prefixes):
+                # AND semantics: Spark does not re-apply accepted filters,
+                # so a row must satisfy every pushed prefix here
+                if prefixes and not all(url.startswith(p) for p in prefixes):
                     continue
                 ts = None
                 raw_ts = headers.get("warc-date")
@@ -230,8 +239,10 @@ class WarcWriter(DataSourceWriter):
         base = os.path.join(self.path, f"part-{uuid.uuid4().hex}{ext}")
         tmp = base + ".tmp"
         hosts: set[str] = set()
-        buf = io.BytesIO()
-        out = gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) if self.gzip else buf
+        # stream straight to the tmp file — O(record) memory, not a whole
+        # ~1 GB gzipped archive buffered per concurrent write task
+        fh = open(tmp, "wb")
+        out = gzip.GzipFile(fileobj=fh, mode="wb", mtime=0) if self.gzip else fh
         n = 0
         for row in rows:
             url = row.url or ""
@@ -260,10 +271,10 @@ class WarcWriter(DataSourceWriter):
             n += 1
         if self.gzip:
             out.close()
+        fh.close()
         if n == 0:
+            os.remove(tmp)
             return _WarcCommit("", "")
-        with open(tmp, "wb") as fh:
-            fh.write(buf.getvalue())
         sidecar = base + ".hosts.json"
         with open(tmp + ".hosts", "w") as fh:
             json.dump(sorted(hosts), fh)

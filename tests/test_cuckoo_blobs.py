@@ -130,3 +130,25 @@ def test_crawl_recrawl_param_refetches(spark, fixture, tmp_path):
     # no unrelated prior-seen url sneaks back in
     assert not ((extra - {target}) & prior_urls)
     assert base_urls <= rec_urls
+
+
+def test_failed_insert_rolls_back_no_false_negatives():
+    """A full table's failed insert must not evict live fingerprints."""
+    from no_fasel_scrapers_spark.operators.seen_filter import CuckooFilter
+
+    cf = CuckooFilter(n_buckets=4)  # tiny: 4 buckets × SLOTS entries
+    inserted = []
+    h = 1
+    while True:
+        if not cf.insert(h):
+            break
+        inserted.append(h)
+        h += 7919
+    assert len(inserted) > 0
+    # every successfully inserted key still reports present
+    for x in inserted:
+        assert cf.contains(x), x
+    # the failed insert left the table byte-identical on repeat failure
+    before = cf.to_bytes()
+    assert cf.insert(h) is False
+    assert cf.to_bytes() == before

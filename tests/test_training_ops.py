@@ -208,6 +208,8 @@ def test_text_stats_oracle(spark):
     assert got[0].stopword_ratio == pytest.approx(2 / 7)  # 'The'→the, 'the'
     assert got[0].lang_detected == "en"
     assert got[1].lang_detected == "ar"
+    # Unicode-aware punct class: Arabic letters are NOT punctuation
+    assert got[1].punct_ratio == pytest.approx(0.0)
     assert got[2].lang_detected == "latin-other"
     # fingerprint is whitespace-normalization invariant
     df2 = spark.createDataFrame(
@@ -403,3 +405,16 @@ def test_range_join_wide_interval_fallback(spark):
         bucket_size=1.0, max_buckets_per_interval=64,
     )
     assert sorted(r["pid"] for r in out.collect()) == [10, 11]
+
+
+def test_asof_join_null_value_is_row_atomic(spark):
+    """The matched right row's NULL value must come through as NULL — not a
+    stale value from an older row (DuckDB ASOF semantics)."""
+    from no_fasel_scrapers_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 3, "l")], "k long, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 1, 5.0), (1, 2, None)], "k long, ts long, v double"
+    )
+    r = asof_join(left, right, on="k", ts="ts").collect()[0]
+    assert r["__asof_ts"] == 2 and r["v"] is None

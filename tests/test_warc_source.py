@@ -135,3 +135,26 @@ def test_truncated_record_raises(tmp_path):
     )
     with pytest.raises(ValueError, match="truncated"):
         list(iter_warc_records(bad))
+
+
+def test_multiple_pushed_prefixes_are_anded(registered, tmp_path):
+    """Spark's pushFilters contract: accepted filters combine with AND and
+    are NOT re-applied by Spark — two conflicting prefixes must yield 0."""
+    from pyspark.sql import functions as F
+
+    spark = registered
+    out = str(tmp_path / "warc_and")
+    docs = spark.createDataFrame(
+        [("https://a.test/x", b"<p>a</p>"), ("https://b.test/y", b"<p>b</p>")],
+        "url string, html binary",
+    ).withColumn("warc_ts", F.lit(None).cast("timestamp")).withColumn(
+        "text", F.lit(None).cast("string")
+    ).withColumn("lang", F.lit(None).cast("string"))
+    docs.write.format("warc").mode("overwrite").save(out)
+    back = spark.read.format("warc").load(out)
+    both = back.filter(F.col("url").startswith("https://a.test/")).filter(
+        F.col("url").startswith("https://b.test/")
+    )
+    assert both.count() == 0
+    one = back.filter(F.col("url").startswith("https://a.test/"))
+    assert one.count() == 1
