@@ -591,6 +591,48 @@ def q_asof_join(spark, sf_dir):
     )
 
 
+def q_robots_parse(spark, sf_dir):
+    """robots.txt parsing as pure columns (windows resolve the stateful
+    group grammar).  The oracle computes the expected parse analytically
+    from the synthetic bodies' generation rule — an independent check, not
+    a SQL mirror of the parser."""
+    from no_fasel_scrapers_spark.operators.robots_parse import (
+        parse_robots_txt,
+    )
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    ks = k.cast("string")
+    body = (
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /a/\nDisallow: /b"), ks,
+                F.lit("/\nCrawl-delay: "), (k % 5).cast("string"),
+                F.lit("\n"),
+            ),
+        )
+        .when(
+            k % 3 == 1,
+            F.concat(
+                F.lit("User-agent: mybot\nDisallow: /mb"), ks,
+                F.lit("/\n\nUser-agent: *\nDisallow: /all/\n"),
+            ),
+        )
+        .otherwise(F.lit("# open\nUser-agent: *\nDisallow:\n"))
+    )
+    bodies = n.select(
+        F.concat(F.lit("n"), ks, F.lit(".test")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    out = parse_robots_txt(bodies, agent="mybot")
+    return out.select(
+        "host",
+        F.array_join("disallow_prefixes", ",").alias("prefixes_csv"),
+        "crawl_delay_ms",
+    )
+
+
 def q_training_prep(spark, sf_dir):
     """Capstone training-data prep pipeline, oracle-checked end to end:
     quality/lang gate → exact dedup → fixed-window chunking.  All stages
@@ -954,6 +996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "asof_join": q_asof_join,
         "range_join": q_range_join,
+        "robots_parse": q_robots_parse,
         "training_prep": q_training_prep,
         "chunk_documents": q_chunk_documents,
         "exact_dedup": q_exact_dedup,
@@ -1001,6 +1044,20 @@ def oracle_sql() -> dict[str, str]:
                    strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
             FROM v ASOF LEFT JOIN p
               ON v.user_id = p.user_id AND v.ts >= p.ts
+        """,
+        "robots_parse": """
+            SELECT 'n' || CAST(n_nationkey AS VARCHAR) || '.test' AS host,
+                   CASE
+                     WHEN n_nationkey % 3 = 0 THEN
+                       '/a/,/b' || CAST(n_nationkey AS VARCHAR) || '/'
+                     WHEN n_nationkey % 3 = 1 THEN
+                       '/mb' || CAST(n_nationkey AS VARCHAR) || '/'
+                     ELSE ''
+                   END AS prefixes_csv,
+                   CAST(CASE WHEN n_nationkey % 3 = 0
+                             THEN (n_nationkey % 5) * 1000
+                             ELSE 0 END AS BIGINT) AS crawl_delay_ms
+            FROM nation
         """,
         "training_prep": """
             WITH t AS (

@@ -161,3 +161,69 @@ class TestBloomPathInLoop:
         assert [l["attempted"] for l in res.lineage] == [
             l["attempted"] for l in crawl_result.lineage
         ]
+
+
+class TestRobotsParse:
+    """robots.txt → parsed robots table (operators/robots_parse.py)."""
+
+    def test_grammar(self, spark):
+        from no_fasel_scrapers_spark.operators.robots_parse import (
+            parse_robots_txt,
+        )
+
+        bodies = [
+            ("a.test", "User-agent: *\nDisallow: /private/\n"
+                       "Disallow: /tmp/\nCrawl-delay: 2\n"),
+            ("b.test", "# all open\nUser-agent: *\nDisallow:\n"),
+            ("c.test", "User-agent: mybot\nDisallow: /only-mybot/\n\n"
+                       "User-agent: *\nDisallow: /everyone/\n"),
+            ("d.test", "User-agent: OtherBot\nUser-agent: mybot\n"
+                       "Disallow: /shared-group/\nCrawl-delay: 0.5\n"),
+            ("e.test", "garbage line\nDisallow: /orphan-rule/\n"),
+            ("f.test", ""),
+        ]
+        df = spark.createDataFrame(bodies, "host string, robots_txt string")
+
+        star = {
+            r["host"]: (list(r["disallow_prefixes"]), r["crawl_delay_ms"])
+            for r in parse_robots_txt(df, agent="*").collect()
+        }
+        assert star["a.test"] == (["/private/", "/tmp/"], 2000)
+        assert star["b.test"] == ([], 0)  # empty Disallow = allow all
+        assert star["c.test"] == (["/everyone/"], 0)
+        assert star["d.test"] == ([], 0)  # no '*' group on d
+        assert star["e.test"] == ([], 0)  # rules outside any group ignored
+        assert star["f.test"] == ([], 0)
+
+        bot = {
+            r["host"]: (list(r["disallow_prefixes"]), r["crawl_delay_ms"])
+            for r in parse_robots_txt(df, agent="mybot").collect()
+        }
+        # exact-agent group beats '*' (RFC 9309 selection)
+        assert bot["c.test"] == (["/only-mybot/"], 0)
+        # multi-User-agent run forms one group; fractional delay → ms
+        assert bot["d.test"] == (["/shared-group/"], 500)
+        # no named group on a → falls back to '*'
+        assert bot["a.test"] == (["/private/", "/tmp/"], 2000)
+
+    def test_feeds_apply_robots(self, spark):
+        from no_fasel_scrapers_spark.operators.robots import apply_robots
+        from no_fasel_scrapers_spark.operators.robots_parse import (
+            parse_robots_txt,
+        )
+
+        df = spark.createDataFrame(
+            [("h.test", "User-agent: *\nDisallow: /blocked/\n")],
+            "host string, robots_txt string",
+        )
+        robots = parse_robots_txt(df)
+        frontier = spark.createDataFrame(
+            [("https://h.test/blocked/x", "h.test"),
+             ("https://h.test/ok/y", "h.test")],
+            "url string, host string",
+        )
+        allowed, blocked = apply_robots(frontier, robots)
+        assert [r.url for r in allowed.collect()] == ["https://h.test/ok/y"]
+        assert [r.url for r in blocked.collect()] == [
+            "https://h.test/blocked/x"
+        ]
