@@ -633,6 +633,51 @@ def q_robots_parse(spark, sf_dir):
     )
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap parsing as pure columns: urlset entries + nested index locs
+    (kind='sitemap' rows recurse as ordinary frontier waves).  Analytic
+    oracle regenerates the expected rows from the bodies' formula."""
+    from no_fasel_scrapers_spark.operators.sitemap import parse_sitemaps
+
+    n = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    ks = k.cast("string")
+    url_entries = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), (k % 4 + 1).cast("int")),
+            lambda i: F.concat(
+                F.lit("<url><loc>https://n"), ks, F.lit(".test/p"),
+                i.cast("string"), F.lit("</loc>"),
+                F.when(
+                    i % 2 == 1,
+                    F.concat(
+                        F.lit("<lastmod>2024-01-0"), i.cast("string"),
+                        F.lit("</lastmod>"),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit("</url>"),
+            ),
+        ),
+        "",
+    )
+    body = F.when(
+        k % 5 == 0,
+        F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://n"), ks,
+            F.lit(".test/sm1.xml</loc></sitemap></sitemapindex>"),
+        ),
+    ).otherwise(
+        F.concat(F.lit("<urlset>"), url_entries, F.lit("</urlset>"))
+    )
+    bodies = n.select(
+        F.concat(F.lit("n"), ks, F.lit(".test")).alias("host"),
+        body.alias("sitemap_xml"),
+    )
+    return parse_sitemaps(bodies).select(
+        "host", "kind", "url", "lastmod"
+    )
+
+
 def q_training_prep(spark, sf_dir):
     """Capstone training-data prep pipeline, oracle-checked end to end:
     quality/lang gate → exact dedup → fixed-window chunking.  All stages
@@ -997,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join": q_range_join,
         "robots_parse": q_robots_parse,
+        "sitemap_parse": q_sitemap_parse,
         "training_prep": q_training_prep,
         "chunk_documents": q_chunk_documents,
         "exact_dedup": q_exact_dedup,
@@ -1058,6 +1104,24 @@ def oracle_sql() -> dict[str, str]:
                              THEN (n_nationkey % 5) * 1000
                              ELSE 0 END AS BIGINT) AS crawl_delay_ms
             FROM nation
+        """,
+        "sitemap_parse": """
+            SELECT 'n' || CAST(n_nationkey AS VARCHAR) || '.test' AS host,
+                   'url' AS kind,
+                   'https://n' || CAST(n_nationkey AS VARCHAR)
+                       || '.test/p' || CAST(i AS VARCHAR) AS url,
+                   CASE WHEN i % 2 = 1
+                        THEN '2024-01-0' || CAST(i AS VARCHAR) END AS lastmod
+            FROM nation,
+                 UNNEST(generate_series(1, n_nationkey % 4 + 1)) AS t(i)
+            WHERE n_nationkey % 5 <> 0
+            UNION ALL
+            SELECT 'n' || CAST(n_nationkey AS VARCHAR) || '.test',
+                   'sitemap',
+                   'https://n' || CAST(n_nationkey AS VARCHAR)
+                       || '.test/sm1.xml',
+                   NULL
+            FROM nation WHERE n_nationkey % 5 = 0
         """,
         "training_prep": """
             WITH t AS (

@@ -227,3 +227,34 @@ class TestRobotsParse:
         assert [r.url for r in blocked.collect()] == [
             "https://h.test/blocked/x"
         ]
+
+
+class TestSitemapParse:
+    def test_urlset_and_index(self, spark):
+        from no_fasel_scrapers_spark.operators.sitemap import parse_sitemaps
+
+        bodies = [
+            ("a.test", '<?xml version="1.0"?>\n<urlset>\n'
+                       "<url><loc>https://a.test/p1</loc>"
+                       "<lastmod>2024-01-01</lastmod>"
+                       "<priority>0.8</priority></url>\n"
+                       "<url><loc> https://a.test/p2 </loc></url>\n"
+                       "</urlset>"),
+            ("b.test", "<sitemapindex><sitemap>"
+                       "<loc>https://b.test/sm1.xml</loc></sitemap>"
+                       "<sitemap><loc>https://b.test/sm2.xml</loc>"
+                       "</sitemap></sitemapindex>"),
+            ("c.test", "<urlset><url><lastmod>2024</lastmod></url></urlset>"),
+        ]
+        df = spark.createDataFrame(bodies, "host string, sitemap_xml string")
+        got = [
+            (r.host, r.kind, r.url, r.lastmod, r.priority)
+            for r in parse_sitemaps(df).orderBy("host", "url").collect()
+        ]
+        assert got == [
+            ("a.test", "url", "https://a.test/p1", "2024-01-01", 0.8),
+            ("a.test", "url", "https://a.test/p2", None, None),  # trimmed
+            ("b.test", "sitemap", "https://b.test/sm1.xml", None, None),
+            ("b.test", "sitemap", "https://b.test/sm2.xml", None, None),
+            # c.test: entry without <loc> dropped entirely
+        ]
