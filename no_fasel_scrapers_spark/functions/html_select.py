@@ -207,6 +207,18 @@ def parse_html_stdlib(html: bytes | str) -> Node:
 
 # tag name per html.parser's tagfind_tolerant
 _STARTTAG = re.compile(r"<([a-zA-Z][^\t\n\r\f />\x00]*)")
+# fast path for well-formed simple tags — one match replaces the
+# locatestarttagend probe + per-attribute loop.  Restricted to inputs
+# where the tolerant grammar provably produces the same result: plain
+# names, double-quoted values without '&' (no unescape), optional '/>'
+_SIMPLE_TAG = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9-]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*(?:=\"[^\"&]*\")?)*)"
+    r"\s*(/?)>"
+)
+_SIMPLE_ATTR = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)(?:=\"([^\"]*)\")?"
+)
 # html.parser's endtagfind (strict) and tagfind_tolerant (fallback name)
 _ENDTAG = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 _TAGNAME = re.compile(r"([a-zA-Z][^\t\n\r\f />\x00]*)")
@@ -384,6 +396,33 @@ def parse_html(html: bytes | str) -> Node:
             else:  # bogus comment, swallowed to '>'
                 i = gt + 1
         elif c and (("a" <= c <= "z") or ("A" <= c <= "Z")):
+            sm = _SIMPLE_TAG.match(s, lt)
+            if sm is not None:  # well-formed simple tag: one-regex path
+                tag = sm.group(1).lower()
+                attrs = {}
+                if sm.group(2):
+                    for am in _SIMPLE_ATTR.finditer(sm.group(2)):
+                        attrs[am.group(1).lower()] = am.group(2)
+                self_closing = sm.group(3) == "/"
+                node = Node(tag, attrs, cur)
+                cur.children.append(node)
+                if tag in index:
+                    index[tag].append(node)
+                else:
+                    index[tag] = [node]
+                i = sm.end()
+                if self_closing or tag in _VOID:
+                    pass
+                elif tag in _CDATA_CLOSE:
+                    cm = _CDATA_CLOSE[tag].search(s, i)
+                    if cm is None:
+                        break
+                    if cm.start() > i:
+                        node.children.append(s[i : cm.start()])
+                    i = cm.end()
+                else:
+                    cur = node
+                continue
             m = _STARTTAG.match(s, lt)
             # check_for_whole_start_tag: dispatch on the char where the
             # attribute grammar stops

@@ -32,7 +32,15 @@ Scale notes (100 TB / 10^10 URLs) — the big tables are never shuffled:
   exact backstop;
 - a global audit rank is OFF by default (single-partition window); the
   deterministic order still exists logically via the (priority, depth,
-  url_hash) key.
+  url_hash) key;
+- the frontier staging table IS rewritten per wave (leftover ∪
+  discoveries) — a deliberate trade-off: unlike the monotonically-growing
+  seen set, the frontier shrinks toward exhaustion and the total cost is
+  bounded by max_waves × |frontier| (linear in waves, not quadratic in
+  crawl size).  An append-log frontier would need a second
+  processed-url exclusion log (robots-blocked rows never enter seen) and
+  an iterative top-K; the rewrite buys the simple deterministic
+  take_wave contract instead.
 
 Live-fetch note: the offline join stands in for HTTP.  A live adapter
 replaces ``_fetch_offline`` with a mapInPandas batch fetcher consuming
