@@ -1142,7 +1142,10 @@ def oracle_sql() -> dict[str, str]:
                        least(n / 500.0, 1.0) * 0.4
                        + greatest(0.0, 1.0 - punct * 4.0) * 0.3
                        + least(stop * 5.0, 1.0) * 0.3 AS quality,
-                       CASE WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0
+                       CASE WHEN len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) > 0
+                                 AND len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]'))
+                                     >= len(regexp_extract_all(text, '[A-Za-z]')) THEN 'zh'
+                            WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0
                                  AND stop >= 0.05 THEN 'en'
                             WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0
                             THEN 'latin-other' ELSE 'unknown' END AS lang_d
@@ -1481,7 +1484,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens_ws, n_tokens_bpe,
                    round(punct, 9) AS punct_r,
                    round(stop, 9) AS stop_r,
-                   CASE WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0 AND stop >= 0.05 THEN 'en'
+                   CASE WHEN len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) > 0
+                             AND len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]'))
+                                 >= len(regexp_extract_all(text, '[A-Za-z]')) THEN 'zh'
+                        WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0 AND stop >= 0.05 THEN 'en'
                         WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0 THEN 'latin-other'
                         ELSE 'unknown' END AS lang_detected,
                    round(least(n / 500.0, 1.0) * 0.4

@@ -63,12 +63,18 @@ def latin_char_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"[A-Za-z]"))
 
 
+def han_char_count(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(r"[\x{4E00}-\x{9FFF}]"))
+
+
 def detect_lang(text: Column) -> Column:
     """Heuristic language id: dominant script, then EN stopword evidence."""
     ar = arabic_char_count(text)
+    han = han_char_count(text)
     lat = latin_char_count(text)
     return (
         F.when((ar > 0) & (ar >= lat), F.lit("ar"))
+        .when((han > 0) & (han >= lat), F.lit("zh"))
         .when((lat > 0) & (stopword_ratio(text) >= 0.05), F.lit("en"))
         .when(lat > 0, F.lit("latin-other"))
         .otherwise(F.lit("unknown"))

@@ -199,6 +199,7 @@ def test_text_stats_oracle(spark):
         (0, "The quick brown fox, the lazy dog!"),
         (1, "عنوان عربي بالكامل"),
         (2, "xyzzy plugh abcd efgh ijkl"),
+        (3, "你好世界 спасибо"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in with_text_stats(df).collect()}
@@ -211,6 +212,7 @@ def test_text_stats_oracle(spark):
     # Unicode-aware punct class: Arabic letters are NOT punctuation
     assert got[1].punct_ratio == pytest.approx(0.0)
     assert got[2].lang_detected == "latin-other"
+    assert got[3].lang_detected == "zh"
     # fingerprint is whitespace-normalization invariant
     df2 = spark.createDataFrame(
         [(0, "  The   quick brown fox, the lazy dog! ")],
