@@ -856,12 +856,14 @@ def q_cosine_pairs_exact(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
 
 
-# ---- rows-only (xxhash-seeded or engine-e2e; no SQL twin) -----------------
+# ---- xxhash-seeded queries: analytic oracles (oracle/analytic.py) ---------
+# DuckDB cannot evaluate Spark's seeded xxhash64 family, so these oracles
+# are independent plain-Python/numpy recomputations at the driver's
+# correctness scale, rendered as VALUES relations (same pattern as the
+# robots_parse/sitemap_parse analytic oracles).
 
 def q_minhash_dedup(spark, sf_dir):
-    """MinHash+LSH near-dup dedup (shingle→minhash→band→bucket-join).
-    xxhash64 hash family → no DuckDB twin; correctness is pinned by
-    tests/test_golden.py property tests instead."""
+    """MinHash+LSH near-dup dedup (shingle→minhash→band→bucket-join)."""
     from no_fasel_scrapers_spark.operators.dedup import minhash_dedup
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
@@ -880,7 +882,10 @@ def q_simhash_pairs(spark, sf_dir):
 
 
 def q_ivf_ann(spark, sf_dir):
-    """IVF/LSH-bucketed ANN: deterministic hyperplane cells, multi-probe."""
+    """IVF/LSH-bucketed ANN: deterministic hyperplane cells, multi-probe.
+    Analytic oracle (oracle/analytic.py) mirrors cells + probes + exact
+    cosine ranking bit-for-bit; recall vs brute force is additionally
+    asserted in tests/test_training_ops.py."""
     from no_fasel_scrapers_spark.operators.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings")
@@ -891,19 +896,107 @@ def q_ivf_ann(spark, sf_dir):
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("query_vec"),
     )
-    return ivf_topk(corpus, queries, k=5, n_planes=6)
+    out = ivf_topk(corpus, queries, k=5, n_planes=6)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round("cosine", 4).alias("cosine_r")
+    )
+
+
+def _with_planted_near_dups(e):
+    """embeddings ∪ one deterministic noisy copy per vector.
+
+    The test embeddings carry NO true near-dup pairs (max pairwise cosine
+    ≈ 0.51 — the round-1 query searched an empty truth set and returned 0
+    rows).  Each copy perturbs every coordinate with seeded xxhash64 noise
+    scaled by the vector's RMS; eps steps with vec_id so planted cosines
+    span ~[0.8, 1.0).  Pure columns → the analytic oracle regenerates the
+    corpus exactly (oracle/analytic.py::_perturbed)."""
+    v = F.col("embedding")
+    dim_idx = F.sequence(F.lit(0), F.size(v) - 1)
+    rms = F.sqrt(
+        F.aggregate(
+            F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+        / F.size(v)
+    )
+    eps = F.lit(0.3) + (F.col("vec_id") % 8).cast("double") * F.lit(0.13)
+    noise = F.transform(
+        dim_idx,
+        lambda j: F.pmod(
+            F.xxhash64(
+                F.concat(
+                    F.lit("nd:"), F.col("vec_id").cast("string"),
+                    F.lit(":"), j.cast("string"),
+                )
+            ),
+            F.lit(2000),
+        ).cast("double") / F.lit(1000.0) - F.lit(1.0),
+    )
+    # NB: the shifted id must NOT be aliased to "vec_id" in the same select
+    # that computes the noise — Spark's lateral column alias resolution
+    # would rebind the noise expression's vec_id reference to the SHIFTED
+    # value (hit in round 2; diverged from the analytic oracle silently).
+    planted = e.select(
+        (F.col("vec_id") + F.lit(1000000)).alias("__pid"),
+        F.zip_with(v, noise, lambda x, n: x + (eps * rms) * n).alias(
+            "embedding"
+        ),
+    ).select(F.col("__pid").alias("vec_id"), "embedding")
+    return e.select("vec_id", "embedding").unionByName(planted)
 
 
 def q_embedding_near_dup_lsh(spark, sf_dir):
-    """Cosine near-dup via hyperplane-LSH buckets + exact verify (scale
-    path: bucket join replaces the O(n²) cross join)."""
+    """Cosine near-dup via band-OR amplified hyperplane LSH + exact verify
+    over the planted-near-dup corpus (L=10 tables × 6 bits → recall ≈0.95
+    at cosine 0.8).  Analytic oracle mirrors the full pipeline."""
     from no_fasel_scrapers_spark.operators.dedup import embedding_near_dup_pairs
 
     e = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    out = embedding_near_dup_pairs(e, threshold=0.8, n_planes=6)
+    aug = _with_planted_near_dups(e)
+    out = embedding_near_dup_pairs(
+        aug, threshold=0.8, bits_per_table=6, n_tables=10
+    )
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
+
+
+def q_embedding_near_dup_recall(spark, sf_dir):
+    """Measured recall of the LSH near-dup path against the exact all-pairs
+    truth on the planted corpus — the round-1 recall defect made visible:
+    single-table LSH scores ~0.25 here; the band-OR version ≥0.9 (also
+    asserted as a hard floor in tests/test_training_ops.py)."""
+    from no_fasel_scrapers_spark.operators.dedup import (
+        cosine_sim,
+        embedding_near_dup_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    aug = _with_planted_near_dups(e)
+    found = embedding_near_dup_pairs(
+        aug, threshold=0.8, bits_per_table=6, n_tables=10
+    )
+    a = aug.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = aug.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_sim(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= 0.8)
+    )
+    n_true = truth.agg(F.count("*").alias("n_true"))
+    n_found = found.agg(F.count("*").alias("n_found"))
+    return n_true.crossJoin(n_found).withColumn(
+        "recall_r",
+        F.round(
+            F.when(F.col("n_true") == 0, F.lit(1.0)).otherwise(
+                F.col("n_found") / F.col("n_true").cast("double")
+            ),
+            4,
+        ),
+    )
 
 
 def q_doc_fingerprints(spark, sf_dir):
@@ -1056,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ivf_ann": q_ivf_ann,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
+        "embedding_near_dup_recall": q_embedding_near_dup_recall,
         "doc_fingerprints": q_doc_fingerprints,
         "media_features": q_media_features,
         "crawl_e2e": q_crawl_e2e,
@@ -1073,8 +1167,37 @@ ORDER BY host
 """
 
 
+def _analytic_oracles() -> dict[str, str]:
+    """VALUES oracles for the xxhash-seeded queries (oracle/analytic.py).
+
+    Computed at call time from the driver's correctness-scale parquet
+    (sf0.01 unless SPARK_GRAFT_ORACLE_SF_DIR overrides).  A failure to
+    build any one of them (e.g. parquet missing in an exotic environment)
+    degrades that query to rows-only instead of failing the whole gate."""
+    from no_fasel_scrapers_spark.oracle import analytic as ao
+
+    out: dict[str, str] = {}
+    builders = {
+        "minhash_dedup": ao.minhash_dedup_sql,
+        "simhash_pairs": ao.simhash_pairs_sql,
+        "ivf_ann": ao.ivf_ann_sql,
+        "embedding_near_dup_lsh": ao.embedding_near_dup_sql,
+        "embedding_near_dup_recall": ao.embedding_near_dup_recall_sql,
+        "doc_fingerprints": ao.doc_fingerprints_sql,
+        "media_features": ao.media_features_sql,
+    }
+    for name, build in builders.items():
+        try:
+            out[name] = build()
+        except Exception as ex:  # degrade to rows-only, don't kill the gate
+            import sys
+
+            print(f"analytic oracle {name} failed: {ex!r}", file=sys.stderr)
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
-    return {
+    return _analytic_oracles() | {
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
         "asof_join": """
             WITH v AS (

@@ -84,3 +84,68 @@ def xxh64_signed(s: str | bytes, seed: int = SPARK_SEED) -> int:
     b = s.encode("utf-8") if isinstance(s, str) else s
     h = xxh64(b, seed)
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def _to_signed(h: int) -> int:
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def xxh64_int_signed(i: int, seed: int = SPARK_SEED) -> int:
+    """Spark ``xxhash64`` of an IntegerType column value.
+
+    Spark's XxHash64.hashInt == XXH64 over the 4 little-endian bytes of the
+    int (two's complement), same seed chaining as any other input."""
+    return _to_signed(xxh64((i & 0xFFFFFFFF).to_bytes(4, "little"), seed & _M))
+
+
+def xxh64_long_signed(v: int, seed: int = SPARK_SEED) -> int:
+    """Spark ``xxhash64`` of a LongType column value (8 LE bytes)."""
+    return _to_signed(xxh64((v & _M).to_bytes(8, "little"), seed & _M))
+
+
+def xxh64_chain(values, seed: int = SPARK_SEED) -> int:
+    """Spark multi-column ``xxhash64(c1, c2, ...)``: each column's hash
+    seeds the next — hash(cN, ... hash(c2, hash(c1, 42))).
+
+    ``values`` items: Python int → IntegerType semantics for small Python
+    literals is ambiguous; pass explicit tuples ("int"|"long"|"str", v)."""
+    h = seed
+    for kind, v in values:
+        if kind == "int":
+            h = xxh64_int_signed(v, h)
+        elif kind == "long":
+            h = xxh64_long_signed(v, h)
+        elif kind == "str":
+            h = _to_signed(xxh64(v.encode("utf-8"), h & _M))
+        else:  # pragma: no cover
+            raise ValueError(kind)
+    return h
+
+
+def xxh64_long_vec(vals, seed):
+    """Vectorized Spark ``xxhash64`` over a numpy int64/uint64 array of
+    LongType values (8-byte branch of XXH64, unrolled):
+
+        h  = seed + P5 + 8
+        k1 = rotl(x·P2, 31)·P1 ; h ^= k1 ; h = rotl(h, 27)·P1 + P4
+        avalanche(h)
+
+    ``seed`` may be a scalar or an array broadcastable against ``vals``.
+    Returns signed int64 (Spark long semantics)."""
+    import numpy as np
+
+    with np.errstate(over="ignore"):
+        x = np.asarray(vals).astype(np.uint64)
+        s = np.asarray(seed).astype(np.uint64)
+        u = lambda c: np.uint64(c)  # noqa: E731
+        rotl = lambda v, r: (v << u(r)) | (v >> u(64 - r))  # noqa: E731
+        h = s + u(P5) + u(8)
+        k1 = rotl(x * u(P2), 31) * u(P1)
+        h ^= k1
+        h = rotl(h, 27) * u(P1) + u(P4)
+        h ^= h >> u(33)
+        h *= u(P2)
+        h ^= h >> u(29)
+        h *= u(P3)
+        h ^= h >> u(32)
+        return h.astype(np.int64)

@@ -1,0 +1,505 @@
+"""Analytic oracles for the hash-seeded queries (VERDICT r1, next-steps #1).
+
+DuckDB cannot evaluate Spark's seeded ``xxhash64`` family, so the queries
+built on it (minhash/simhash/LSH/fingerprints/IVF) had no SQL twin in
+round 1 — 7 of 45 driver rows were ``err: no_oracle``.  This module closes
+that gap with the same pattern the repo already proved on
+``robots_parse``/``sitemap_parse``: an INDEPENDENT recomputation of the
+expected result, here in plain Python + numpy on the driver at the
+driver's correctness scale (sf0.01), rendered as a DuckDB ``VALUES``
+relation that the driver compares row-for-row against the Spark output.
+
+Fidelity notes (each of these was a real divergence risk):
+
+* ``xxhash64`` twins — :mod:`no_fasel_scrapers_spark.functions.xxh64`
+  mirrors Spark bit-for-bit, including the multi-column seed chaining
+  (``xxhash64(c1, c2) = hash(c2, seed=hash(c1, 42))``) and the int-vs-long
+  width distinction; verified against a live session in
+  ``tests/test_canonical.py``.
+* Floating point — Spark's higher-order ``aggregate`` is a sequential
+  left fold of IEEE doubles; the mirrors fold in the same order (numpy is
+  used only for elementwise products, never for reductions that feed a
+  comparison).  Near decision boundaries (thresholds, top-k ranks) the
+  mirrors recompute with exact sequential folds.
+* ``F.round(x, d)`` rounds HALF_UP on ``BigDecimal.valueOf(double)``
+  (shortest decimal repr) — mirrored via ``Decimal(repr(x))``.
+* Java regex ``\\s`` is ASCII-only; mirrors split on the explicit class.
+  Spark ``trim`` strips only ``' '``; mirrors use ``str.strip(' ')``.
+
+The sf dir defaults to the driver's correctness scale and can be pointed
+elsewhere via ``SPARK_GRAFT_ORACLE_SF_DIR`` (scripts/check_entry.py sets
+it so local runs at other scales stay consistent).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+import numpy as np
+
+from ..functions.xxh64 import (
+    xxh64_int_signed,
+    xxh64_long_vec,
+    xxh64_signed,
+)
+
+ORACLE_SF_DIR_ENV = "SPARK_GRAFT_ORACLE_SF_DIR"
+DEFAULT_SF_DIR = "/root/testdata/sf0.01"
+
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s (ASCII), not Python's
+
+
+def sf_dir() -> str:
+    return os.environ.get(ORACLE_SF_DIR_ENV, DEFAULT_SF_DIR)
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    """Mirror of Spark ``F.round(double, d)`` (BigDecimal HALF_UP over the
+    shortest decimal representation — identical to Python ``repr``)."""
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(float(x))).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _split_ws(s: str) -> list[str]:
+    """Mirror of Spark ``split(s, '\\\\s+')`` (Pattern.split, limit -1)."""
+    return _WS.split(s)
+
+
+# ---------------------------------------------------------------------------
+# Parquet loaders (cached per sf dir)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=4)
+def _docs(sf: str) -> list[tuple[int, str, str]]:
+    import duckdb
+
+    return duckdb.sql(
+        f"SELECT doc_id, text, lang FROM '{sf}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+
+
+@functools.lru_cache(maxsize=4)
+def _embeddings(sf: str) -> list[tuple[int, list[float]]]:
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf}/embeddings.parquet' "
+        "ORDER BY vec_id"
+    ).fetchall()
+    return [(int(v), [float(x) for x in e]) for v, e in rows]
+
+
+# ---------------------------------------------------------------------------
+# VALUES rendering
+# ---------------------------------------------------------------------------
+
+def _sql_val(v, typ: str) -> str:
+    if v is None:
+        return f"CAST(NULL AS {typ})"
+    if typ in ("BIGINT", "INTEGER"):
+        return f"CAST({int(v)} AS {typ})"
+    if typ == "DOUBLE":
+        return f"CAST({repr(float(v))} AS DOUBLE)"
+    if typ == "VARCHAR":
+        s = str(v).replace("'", "''")
+        return f"'{s}'"
+    raise ValueError(typ)
+
+
+def values_sql(rows, cols: list[tuple[str, str]]) -> str:
+    """Render rows as a typed DuckDB VALUES relation (empty-safe)."""
+    names = ", ".join(n for n, _ in cols)
+    if not rows:
+        sel = ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in cols)
+        return f"SELECT {sel} WHERE FALSE"
+    body = ",\n".join(
+        "(" + ", ".join(_sql_val(v, t) for v, (_, t) in zip(r, cols)) + ")"
+        for r in rows
+    )
+    return f"SELECT * FROM (VALUES\n{body}\n) AS t({names})"
+
+
+# ---------------------------------------------------------------------------
+# Shared text mirrors
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=1 << 20)
+def _hs(s: str) -> int:
+    """Cached Spark-twin xxhash64 of a string (seed 42, signed)."""
+    return xxh64_signed(s)
+
+
+def _word_ngrams(text: str, n: int = 3) -> list[str]:
+    """Mirror of dedup.word_ngrams: distinct word n-grams, first-occurrence
+    order (order is irrelevant downstream — set semantics everywhere)."""
+    toks = _split_ws(text.lower().strip(" "))
+    cnt = max(len(toks) - (n - 1), 1)
+    grams = [" ".join(toks[i : i + n]) for i in range(cnt)]
+    seen: set[str] = set()
+    out = []
+    for g in grams:
+        if g not in seen:
+            seen.add(g)
+            out.append(g)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# minhash_dedup
+# ---------------------------------------------------------------------------
+
+def minhash_dedup_rows(
+    sf: str, k: int = 16, bands: int = 4, ngram: int = 3,
+    threshold: float = 0.8, max_bucket: int = 200,
+):
+    """Survivors of the MinHash→LSH→Jaccard pipeline: (doc_id, lang)."""
+    docs = _docs(sf)
+    gram_hashes: dict[int, list[int]] = {}
+    sigs: dict[int, list[int]] = {}
+    perm_seeds = [xxh64_int_signed(i) for i in range(k)]
+    for doc_id, text, _lang in docs:
+        gh = [_hs(g) for g in _word_ngrams(text, ngram)]
+        gram_hashes[doc_id] = gh
+        arr = np.array(gh, dtype=np.int64)
+        sigs[doc_id] = [
+            int(xxh64_long_vec(arr, seed).min()) for seed in perm_seeds
+        ]
+
+    r = k // bands
+    # band explode → bucket occupancy → skew cap → same-bucket pairs
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            key = ",".join(str(sig[b * r + j]) for j in range(r))
+            buckets.setdefault((b, _hs(key)), []).append(doc_id)
+    cand: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        if len(ids) > max_bucket:
+            continue
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+
+    drop: set[int] = set()
+    for a, b in cand:
+        ga, gb = set(gram_hashes[a]), set(gram_hashes[b])
+        uni = len(ga | gb)
+        jac = 1.0 if uni == 0 else len(ga & gb) / float(uni)
+        if jac >= threshold:
+            drop.add(b)
+    return [(d, lang) for d, _t, lang in docs if d not in drop]
+
+
+def minhash_dedup_sql(sf: str | None = None) -> str:
+    rows = minhash_dedup_rows(sf or sf_dir())
+    return values_sql(rows, [("doc_id", "BIGINT"), ("lang", "VARCHAR")])
+
+
+# ---------------------------------------------------------------------------
+# simhash_pairs
+# ---------------------------------------------------------------------------
+
+def _simhash_u64(text: str) -> int:
+    toks = _split_ws(text.lower().strip(" "))
+    hs = np.array([_hs(t) for t in toks], dtype=np.int64).astype(np.uint64)
+    bit_idx = np.arange(64, dtype=np.uint64)
+    bits = (hs[:, None] >> bit_idx[None, :]) & np.uint64(1)
+    votes = bits.sum(axis=0).astype(np.int64) * 2 - len(hs)
+    sim = ((votes > 0).astype(np.uint64) << bit_idx).sum(dtype=np.uint64)
+    return int(sim)
+
+
+def simhash_pairs_rows(
+    sf: str, max_hamming: int = 16, max_bucket: int = 1000,
+):
+    docs = _docs(sf)
+    sims = {doc_id: _simhash_u64(text) for doc_id, text, _ in docs}
+    buckets: dict[tuple[int, int], list[int]] = {}
+    for doc_id, sim in sims.items():
+        for c in range(4):
+            chunk = (sim >> (c * 16)) & 0xFFFF
+            buckets.setdefault((c, chunk), []).append(doc_id)
+    cand: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        if len(ids) > max_bucket:
+            continue
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    out = []
+    for a, b in sorted(cand):
+        ham = bin(sims[a] ^ sims[b]).count("1")
+        if ham <= max_hamming:
+            out.append((a, b, ham))
+    return out
+
+
+def simhash_pairs_sql(sf: str | None = None) -> str:
+    rows = simhash_pairs_rows(sf or sf_dir())
+    return values_sql(
+        rows,
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("hamming", "INTEGER")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding geometry mirrors (sequential IEEE folds, Spark order)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=1 << 16)
+def _plane_w(p: int, i: int) -> float:
+    """Mirror of dedup.plane_weight: pmod(xxhash64('plane{p}:{i}'), 2000)
+    / 1000.0 - 1.0."""
+    return (_hs(f"plane{p}:{i}") % 2000) / 1000.0 - 1.0
+
+
+def _fold_sum(vals) -> float:
+    """Sequential left fold — Spark ``aggregate(..., acc + v)`` order."""
+    acc = 0.0
+    for v in vals:
+        acc = acc + v
+    return acc
+
+
+def _dot_plane(vec: list[float], p: int) -> float:
+    prods = [x * _plane_w(p, i) for i, x in enumerate(vec)]
+    return _fold_sum(prods)
+
+
+def _cosine_exact(a: list[float], b: list[float]) -> float:
+    dot = _fold_sum([x * y for x, y in zip(a, b)])
+    na = math.sqrt(_fold_sum([x * x for x in a]))
+    nb = math.sqrt(_fold_sum([x * x for x in b]))
+    if na == 0 or nb == 0:
+        return 0.0
+    return dot / (na * nb)
+
+
+def _cell_id(vec: list[float], n_planes: int) -> int:
+    acc = 0
+    for p in range(n_planes):
+        acc = acc * 2 + (1 if _dot_plane(vec, p) > 0 else 0)
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# ivf_ann
+# ---------------------------------------------------------------------------
+
+def ivf_ann_rows(sf: str, k: int = 5, n_planes: int = 6, n_queries: int = 5):
+    emb = _embeddings(sf)
+    cells = {vid: _cell_id(v, n_planes) for vid, v in emb}
+    out = []
+    for qid, qv in emb:
+        if qid >= n_queries:
+            continue
+        qcell = cells[qid]
+        probes = {qcell} | {qcell ^ (1 << p) for p in range(n_planes)}
+        scored = [
+            (vid, _cosine_exact(v, qv))
+            for vid, v in emb
+            if cells[vid] in probes
+        ]
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (vid, cos) in enumerate(scored[:k], start=1):
+            out.append((qid, vid, rank, _round_half_up(cos, 4)))
+    return out
+
+
+def ivf_ann_sql(sf: str | None = None) -> str:
+    rows = ivf_ann_rows(sf or sf_dir())
+    return values_sql(
+        rows,
+        [
+            ("query_id", "BIGINT"),
+            ("vec_id", "BIGINT"),
+            ("rank", "INTEGER"),
+            ("cosine_r", "DOUBLE"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Planted near-dup corpus + embedding LSH near-dup / recall
+# ---------------------------------------------------------------------------
+
+PLANT_SHIFT = 1_000_000
+
+
+def _perturbed(vid: int, vec: list[float]) -> list[float]:
+    """Mirror of __spark_entry__._with_planted_near_dups: one noisy copy
+    per vector, eps stepped by vec_id so planted cosines span ~[0.8, 1)."""
+    rms = math.sqrt(_fold_sum([x * x for x in vec]) / len(vec))
+    eps = 0.3 + float(vid % 8) * 0.13
+    out = []
+    for j, x in enumerate(vec):
+        n = (_hs(f"nd:{vid}:{j}") % 2000) / 1000.0 - 1.0
+        out.append(x + (eps * rms) * n)
+    return out
+
+
+def _planted_corpus(sf: str) -> list[tuple[int, list[float]]]:
+    emb = _embeddings(sf)
+    return emb + [(vid + PLANT_SHIFT, _perturbed(vid, v)) for vid, v in emb]
+
+
+def _lsh_near_dup_pairs(
+    corpus: list[tuple[int, list[float]]],
+    threshold: float,
+    bits_per_table: int,
+    n_tables: int,
+    max_bucket: int = 2000,
+):
+    """Mirror of dedup.embedding_near_dup_pairs (band-OR LSH + verify)."""
+    by_id = dict(corpus)
+    buckets: dict[tuple[int, str], list[int]] = {}
+    for vid, v in corpus:
+        for t in range(n_tables):
+            bits = "".join(
+                "1" if _dot_plane(v, t * bits_per_table + j) > 0 else "0"
+                for j in range(bits_per_table)
+            )
+            buckets.setdefault((t, bits), []).append(vid)
+    cand: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        if len(ids) > max_bucket:
+            continue
+        ids = sorted(ids)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                cand.add((ids[i], ids[j]))
+    out = []
+    for a, b in sorted(cand):
+        cos = _cosine_exact(by_id[a], by_id[b])
+        if cos >= threshold:
+            out.append((a, b, cos))
+    return out
+
+
+def embedding_near_dup_rows(
+    sf: str, threshold: float = 0.8,
+    bits_per_table: int = 6, n_tables: int = 10,
+):
+    pairs = _lsh_near_dup_pairs(
+        _planted_corpus(sf), threshold, bits_per_table, n_tables
+    )
+    return [(a, b, _round_half_up(c, 4)) for a, b, c in pairs]
+
+
+def embedding_near_dup_sql(sf: str | None = None) -> str:
+    rows = embedding_near_dup_rows(sf or sf_dir())
+    return values_sql(
+        rows,
+        [("id_a", "BIGINT"), ("id_b", "BIGINT"), ("cosine_r", "DOUBLE")],
+    )
+
+
+def _exact_true_pairs(
+    corpus: list[tuple[int, list[float]]], threshold: float
+) -> set[tuple[int, int]]:
+    """All-pairs exact truth; numpy prefilter with a margin, sequential-fold
+    recheck for anything near the threshold (FP-order safety)."""
+    ids = [vid for vid, _ in corpus]
+    V = np.array([v for _, v in corpus], dtype=np.float64)
+    norms = np.linalg.norm(V, axis=1)
+    safe = np.where(norms == 0, 1.0, norms)
+    C = (V / safe[:, None]) @ (V / safe[:, None]).T
+    margin = 1e-9
+    truth: set[tuple[int, int]] = set()
+    n = len(ids)
+    ii, jj = np.triu_indices(n, 1)
+    vals = C[ii, jj]
+    sure = vals >= threshold + margin
+    near = np.abs(vals - threshold) < margin
+    for a, b in zip(ii[sure], jj[sure]):
+        truth.add((min(ids[a], ids[b]), max(ids[a], ids[b])))
+    for a, b in zip(ii[near], jj[near]):
+        if _cosine_exact(corpus[a][1], corpus[b][1]) >= threshold:
+            truth.add((min(ids[a], ids[b]), max(ids[a], ids[b])))
+    return truth
+
+
+def embedding_near_dup_recall_rows(
+    sf: str, threshold: float = 0.8,
+    bits_per_table: int = 6, n_tables: int = 10,
+):
+    corpus = _planted_corpus(sf)
+    found = _lsh_near_dup_pairs(corpus, threshold, bits_per_table, n_tables)
+    truth = _exact_true_pairs(corpus, threshold)
+    n_true, n_found = len(truth), len(found)
+    recall = _round_half_up(
+        n_found / n_true if n_true else 1.0, 4
+    )
+    return [(n_true, n_found, recall)]
+
+
+def embedding_near_dup_recall_sql(sf: str | None = None) -> str:
+    rows = embedding_near_dup_recall_rows(sf or sf_dir())
+    return values_sql(
+        rows,
+        [("n_true", "BIGINT"), ("n_found", "BIGINT"), ("recall_r", "DOUBLE")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_fingerprints
+# ---------------------------------------------------------------------------
+
+def doc_fingerprints_rows(sf: str, shingle: int = 8):
+    out = []
+    for doc_id, text, _lang in _docs(sf):
+        norm = _WS.sub(" ", text.strip(" ").lower())
+        fp = _hs(norm)
+        cnt = max(len(text) - (shingle - 1), 1)
+        winnow = min(_hs(text[i : i + shingle]) for i in range(cnt))
+        out.append((doc_id, fp, winnow))
+    return out
+
+
+def doc_fingerprints_sql(sf: str | None = None) -> str:
+    rows = doc_fingerprints_rows(sf or sf_dir())
+    return values_sql(
+        rows,
+        [
+            ("doc_id", "BIGINT"),
+            ("fingerprint", "BIGINT"),
+            ("winnow", "BIGINT"),
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# media_features
+# ---------------------------------------------------------------------------
+
+def media_features_rows(sf: str, n_bins: int = 16):
+    out = []
+    for doc_id, _text, _lang in _docs(sf):
+        w, h, c = 16 + doc_id % 16, 8 + doc_id % 8, 1
+        seed = doc_id % 251
+        n = w * h * c
+        rng = (
+            np.arange(n, dtype=np.uint32) * np.uint32(2654435761)
+            + np.uint32(seed)
+        )
+        body = (rng >> 24).astype(np.uint8)
+        hist, _ = np.histogram(body, bins=n_bins, range=(0, 256))
+        total = hist.sum() or 1
+        f0 = float(np.float32(hist[0] / total))
+        out.append((doc_id, n_bins, _round_half_up(f0, 6)))
+    return out
+
+
+def media_features_sql(sf: str | None = None) -> str:
+    rows = media_features_rows(sf or sf_dir())
+    return values_sql(
+        rows,
+        [("doc_id", "BIGINT"), ("n_bins", "INTEGER"), ("f0", "DOUBLE")],
+    )

@@ -10,6 +10,7 @@ Usage: python scripts/check_entry.py [sf_dir] [only_query ...]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -17,6 +18,11 @@ sys.path.insert(0, ".")
 
 import duckdb
 import pandas as pd
+
+if len(sys.argv) > 1:
+    # point the analytic oracles (oracle/analytic.py) at the same sf dir
+    # the queries run at — must happen before oracle_sql() is called
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sys.argv[1])
 
 import __spark_entry__ as E
 from no_fasel_scrapers_spark.session import get_spark

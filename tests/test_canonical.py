@@ -83,3 +83,36 @@ class TestXxh64Twin:
         for r in rows:
             assert r["url_hash"] == xxh64_signed(r["canonical_url"])
             assert 0 <= r["host_salt"] < 8
+
+    def test_int_long_and_chain_twins(self, spark):
+        """The analytic oracles (oracle/analytic.py) depend on the int/long
+        width distinction and multi-column seed chaining of Spark's
+        xxhash64 — pin all of them against a live session."""
+        from no_fasel_scrapers_spark.functions.xxh64 import (
+            xxh64_chain,
+            xxh64_int_signed,
+            xxh64_long_signed,
+            xxh64_long_vec,
+        )
+
+        row = spark.range(1).select(
+            F.xxhash64(F.lit(7)).alias("i"),
+            F.xxhash64(F.lit(-3)).alias("ineg"),
+            F.xxhash64(F.lit(2**40)).alias("l"),
+            F.xxhash64(F.lit(5), F.lit(2**33 + 17)).alias("chain_il"),
+            F.xxhash64(F.lit("plane2:"), F.lit(9)).alias("chain_si"),
+        ).collect()[0]
+        assert row["i"] == xxh64_int_signed(7)
+        assert row["ineg"] == xxh64_int_signed(-3)
+        assert row["l"] == xxh64_long_signed(2**40)
+        assert row["chain_il"] == xxh64_chain(
+            [("int", 5), ("long", 2**33 + 17)]
+        )
+        assert row["chain_si"] == xxh64_chain([("str", "plane2:"), ("int", 9)])
+
+        import numpy as np
+
+        vals = np.array([2**40, -5, 0, 123456789123], dtype=np.int64)
+        assert list(xxh64_long_vec(vals, 42)) == [
+            xxh64_long_signed(int(v)) for v in vals
+        ]
