@@ -687,7 +687,7 @@ def q_training_prep(spark, sf_dir):
     from no_fasel_scrapers_spark.operators.dedup import exact_dedup
     from no_fasel_scrapers_spark.operators.textstats import with_text_stats
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_with_probes(spark, sf_dir)
     stats = with_text_stats(d)
     kept = stats.filter(
         (F.col("lang_detected") == "en") & (F.col("quality") >= 0.55)
@@ -743,11 +743,46 @@ def q_exact_dedup(spark, sf_dir):
     return exact_dedup(d, text_col="prefix", id_col="doc_id")
 
 
+# Script-detection probe rows (ADVICE r1): the driver documents corpus is
+# pure ASCII, so without these neither the engine's 'ar' branch nor its
+# 'zh' branch is ever exercised by the oracle compare — the oracles could
+# silently diverge on exactly the corpora this engine targets.  One shared
+# constant feeds BOTH the Spark input (createDataFrame) and the DuckDB
+# oracle (VALUES), so the two sides cannot drift.
+_SCRIPT_PROBE_ROWS = [
+    (9000001, "مرحبا بالعالم الجميل اليوم مرحبا"),    # Arabic-only → ar
+    (9000002, "你好 世界 今天 天气 很好 世界"),           # Han-only → zh
+    (9000003, "مرحبا hello مرحبا العالم"),             # ar ≥ latin → ar
+    (9000004, "the cat 你好 and the dog is on it"),    # han < latin → en
+    (9000005, "xyzzy plugh قط abcd"),                  # ar < latin → latin-other
+    (9000006, "٣٤٥ ٦٧٨"),                              # Arabic-Indic digits → ar
+    (9000007, "你好 مرحبا"),                            # ar AND han: ar wins (branch order)
+]
+
+_SCRIPT_PROBE_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"(CAST({i} AS BIGINT), '{t}')" for i, t in _SCRIPT_PROBE_ROWS
+) + ") AS probe(doc_id, text)"
+
+_DOCS_WITH_PROBES_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL " + _SCRIPT_PROBE_SQL
+)
+
+
+def _docs_with_probes(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    probes = spark.createDataFrame(
+        _SCRIPT_PROBE_ROWS, "doc_id long, text string"
+    )
+    return d.unionByName(probes)
+
+
 def q_text_stats(spark, sf_dir):
-    """Token counting, punct/stopword ratios, lang-id, quality — columnar."""
+    """Token counting, punct/stopword ratios, lang-id, quality — columnar.
+    Input = documents ∪ script probes so the ar/zh branches are pinned by
+    the oracle compare, not only by unit tests."""
     from no_fasel_scrapers_spark.operators.textstats import with_text_stats
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_with_probes(spark, sf_dir)
     return with_text_stats(d).select(
         "doc_id",
         "n_tokens_ws",
@@ -1157,6 +1192,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# Language-ID CASE shared by the text_stats and training_prep oracles —
+# mirrors textstats.detect_lang branch-for-branch IN ORDER (ar before zh
+# before the latin branches; ADVICE r1 flagged the round-1 omission of ar)
+_LANG_CASE_SQL = """CASE
+    WHEN len(regexp_extract_all(text, '[\\x{0600}-\\x{06FF}]')) > 0
+         AND len(regexp_extract_all(text, '[\\x{0600}-\\x{06FF}]'))
+             >= len(regexp_extract_all(text, '[A-Za-z]')) THEN 'ar'
+    WHEN len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) > 0
+         AND len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]'))
+             >= len(regexp_extract_all(text, '[A-Za-z]')) THEN 'zh'
+    WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0 AND stop >= 0.05
+        THEN 'en'
+    WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0 THEN 'latin-other'
+    ELSE 'unknown' END"""
+
+
 _WARC_ROUNDTRIP_SQL = """
 SELECT source AS host,
        COUNT(*) AS n_pages,
@@ -1246,7 +1297,7 @@ def oracle_sql() -> dict[str, str]:
                    NULL
             FROM nation WHERE n_nationkey % 5 = 0
         """,
-        "training_prep": """
+        "training_prep": f"""
             WITH t AS (
                 SELECT doc_id, text,
                        CAST(len(list_filter(
@@ -1256,22 +1307,16 @@ def oracle_sql() -> dict[str, str]:
                                        'at','by','be','this','that','from')))
                             AS DOUBLE)
                        / len(string_split_regex(trim(text), '\\s+')) AS stop,
-                       CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]'))
+                       CAST(len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s]'))
                             AS DOUBLE) / length(text) AS punct,
                        CAST(length(text) AS DOUBLE) AS n
-                FROM documents
+                FROM ({_DOCS_WITH_PROBES_SQL})
             ), scored AS (
                 SELECT doc_id, text,
                        least(n / 500.0, 1.0) * 0.4
                        + greatest(0.0, 1.0 - punct * 4.0) * 0.3
                        + least(stop * 5.0, 1.0) * 0.3 AS quality,
-                       CASE WHEN len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) > 0
-                                 AND len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]'))
-                                     >= len(regexp_extract_all(text, '[A-Za-z]')) THEN 'zh'
-                            WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0
-                                 AND stop >= 0.05 THEN 'en'
-                            WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0
-                            THEN 'latin-other' ELSE 'unknown' END AS lang_d
+                       {_LANG_CASE_SQL} AS lang_d
                 FROM t
             ), kept AS (
                 SELECT doc_id, text FROM scored
@@ -1590,29 +1635,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rn = 1
         """,
-        "text_stats": """
+        "text_stats": f"""
             WITH t AS (
                 SELECT doc_id, text,
                        CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens_ws,
                        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens_bpe,
-                       CAST(len(regexp_extract_all(text, '[^\\p{L}\\p{N}_\\s]')) AS DOUBLE) / length(text) AS punct,
+                       CAST(len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s]')) AS DOUBLE) / length(text) AS punct,
                        CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                             x -> x IN ('the','a','an','and','or','of','to','in','is','it','for',
                                        'on','with','as','at','by','be','this','that','from')))
                             AS DOUBLE)
                        / len(string_split_regex(trim(text), '\\s+')) AS stop,
                        CAST(length(text) AS DOUBLE) AS n
-                FROM documents
+                FROM ({_DOCS_WITH_PROBES_SQL})
             )
             SELECT doc_id, n_tokens_ws, n_tokens_bpe,
                    round(punct, 9) AS punct_r,
                    round(stop, 9) AS stop_r,
-                   CASE WHEN len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]')) > 0
-                             AND len(regexp_extract_all(text, '[\\x{4E00}-\\x{9FFF}]'))
-                                 >= len(regexp_extract_all(text, '[A-Za-z]')) THEN 'zh'
-                        WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0 AND stop >= 0.05 THEN 'en'
-                        WHEN len(regexp_extract_all(text, '[A-Za-z]')) > 0 THEN 'latin-other'
-                        ELSE 'unknown' END AS lang_detected,
+                   {_LANG_CASE_SQL} AS lang_detected,
                    round(least(n / 500.0, 1.0) * 0.4
                          + greatest(0.0, 1.0 - punct * 4.0) * 0.3
                          + least(stop * 5.0, 1.0) * 0.3, 9) AS quality_r

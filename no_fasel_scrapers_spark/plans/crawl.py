@@ -25,7 +25,10 @@ Scale notes (100 TB / 10^10 URLs) — the big tables are never shuffled:
 - the seen set is append-only (per-wave O(delta) snapshots, read_log
   reassembly, atomic 'compact' markers for recrawl invalidation) and its
   exact-dedup check streams it the same semi-reduce way — the anti-join
-  runs against the wave-bounded hit set, broadcast;
+  runs against the wave-bounded hit set, broadcast; the frontier
+  pre-prune follows the same discipline (leftover vs the wave delta,
+  discoveries vs a semi-reduced hit set — see the loop-bottom comment),
+  so no stage anywhere shuffles the seen set;
 - bloom blobs are incremental: pinned (m, k) sizing from expected_urls,
   per-wave delta build + per-shard OR merge (O(filter bytes) per wave),
   checkpointed and restored on resume; only bloom-positive rows reach the
@@ -70,6 +73,7 @@ from ..operators.frontier import (
 from ..operators.politeness import politeness_metrics, schedule_fetches
 from ..operators.robots import apply_robots
 from ..operators.seen_filter import (
+    bloom_params as _bloom_params,
     build_filter_blobs,
     dedup_against_seen,
     merge_filter_blobs,
@@ -211,6 +215,33 @@ def run_crawl(
     blobs = (
         catalog.read(spark, "blobs") if catalog.exists("blobs") else None
     )
+    if blobs is not None:
+        # Fail-fast guard (ADVICE r1): restored blobs carry pinned (m, k);
+        # a resume launched with a different --expected-urls would only
+        # blow up executor-side at merge time, mid-wave, after robots/
+        # dedup/fetch work.  Check on the driver up front — n_shards rows —
+        # and trigger a one-shot rebuild from the seen set instead of
+        # dying later (the loop below rebuilds whenever blobs is None).
+        exp_m, exp_k = _bloom_params(n_per_shard)
+        got = blobs.select("m", "k").distinct().collect()
+        if any((r["m"], r["k"]) != (exp_m, exp_k) for r in got):
+            print(
+                f"crawl: restored filter blobs have (m, k) = "
+                f"{[(r['m'], r['k']) for r in got]} but expected_urls="
+                f"{expected_urls} pins {(exp_m, exp_k)}; discarding and "
+                "rebuilding from the seen set"
+            )
+            blobs = None
+
+    # Pruned-frontier invariant: the frontier written at the bottom of a
+    # wave never contains an already-attempted url_hash.  Fresh runs start
+    # with empty seen (holds trivially); resumed runs restored a frontier
+    # that was pruned before checkpointing (holds); ONLY a fresh run
+    # importing prior history starts with a frontier that may overlap the
+    # seen set — its first wave prunes leftover against the FULL seen set
+    # once (flag below), after which the invariant lets every later wave
+    # prune with wave-bounded joins only.
+    leftover_vs_full = seen_prior is not None
 
     while wave_no < max_waves:
         t_ms: dict = {}
@@ -392,11 +423,43 @@ def run_crawl(
         )
         pagination = expand_pagination_df(probes, n_salts)
 
-        nxt = leftover.unionByName(child).unionByName(pagination)
-        # drop anything already attempted (cheap pre-prune; the wave-side
-        # bloom+anti-join remains the correctness gate; seen deltas are
-        # disjoint by construction, so no distinct needed)
-        nxt = nxt.join(seen.select("url_hash"), "url_hash", "left_anti")
+        # ---- frontier pre-prune (wave-bounded; never shuffles seen) -----
+        # Round 1 anti-joined the whole nxt against the whole seen set —
+        # at 10^10 URLs that sort-merge shuffles the entire seen set every
+        # wave (ADVICE r1).  Split by provenance instead:
+        #  (a) leftover already satisfies the pruned-frontier invariant
+        #      w.r.t. seen-as-of-last-wave, so only THIS wave's delta can
+        #      newly match it — anti-join against the wave-bounded delta;
+        #  (b) new discoveries (links + pagination) are wave-bounded, so
+        #      the seen set is semi-REDUCED to their key hits first (one
+        #      streaming pass over seen, broadcast of wave-sized keys —
+        #      the same pattern as dedup_against_seen) and the anti-join
+        #      runs against the small hit set.
+        # Results are identical to the full anti-join; the wave-side
+        # bloom+anti-join remains the correctness gate either way.
+        discoveries = child.unionByName(pagination)
+        if leftover_vs_full:
+            # one-off: imported-history frontier may overlap prior seen
+            leftover_p = leftover.join(
+                seen.select("url_hash"), "url_hash", "left_anti"
+            )
+            leftover_vs_full = False
+        else:
+            delta_keys = seen_delta.select("url_hash")
+            leftover_p = leftover.join(
+                F.broadcast(delta_keys) if bounded_wave else delta_keys,
+                "url_hash", "left_anti",
+            )
+        disc_keys = discoveries.select("url_hash")
+        hits = seen.select("url_hash").join(
+            F.broadcast(disc_keys) if bounded_wave else disc_keys,
+            "url_hash", "left_semi",
+        )
+        disc_p = discoveries.join(
+            F.broadcast(hits) if bounded_wave else hits,
+            "url_hash", "left_anti",
+        )
+        nxt = leftover_p.unionByName(disc_p)
 
         catalog.write(nxt, "frontier", meta={"wave": wave_no + 1})
         frontier = catalog.read(spark, "frontier")

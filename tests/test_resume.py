@@ -36,6 +36,41 @@ def test_resume_equals_uninterrupted(spark, fixture, tmp_path):
     assert ea == eb
 
 
+def test_resume_with_changed_expected_urls_rebuilds_blobs(
+    spark, fixture, tmp_path, capsys
+):
+    """A resume launched with a different --expected-urls must not die
+    mid-wave inside merge_filter_blobs with an (m, k) mismatch (ADVICE r1):
+    the driver detects the pinned-size conflict up front, discards the
+    restored blobs, and rebuilds from the seen set — same final state."""
+    pages = fixture.pages_df(spark)
+    seeds = fixture.seeds_df(spark)
+    robots = fixture.robots_df(spark)
+
+    cat = Catalog(str(tmp_path / "mk"))
+    # bloom_min_seen=0 forces blob build from wave 0 at fixture scale
+    run_crawl(
+        spark, pages, seeds, robots, cat, max_waves=2,
+        bloom_min_seen=0, expected_urls=64_000,
+    )
+    assert cat.exists("blobs")
+    resumed = resume_crawl(
+        spark, pages, seeds, robots, cat,
+        bloom_min_seen=0, expected_urls=640_000,  # different pinned size
+    )
+    out = capsys.readouterr().out
+    assert "rebuilding from the seen set" in out
+
+    ref_cat = Catalog(str(tmp_path / "ref"))
+    ref = run_crawl(
+        spark, pages, seeds, robots, ref_cat,
+        bloom_min_seen=0, expected_urls=640_000,
+    )
+    a = sorted(r["url"] for r in resumed.seen.collect())
+    b = sorted(r["url"] for r in ref.seen.collect())
+    assert a == b
+
+
 def test_torn_manifest_ignored(spark, fixture, tmp_path):
     """A crash mid-write leaves a .tmp manifest — readers must not see it."""
     cat = Catalog(str(tmp_path / "torn"))
