@@ -1079,6 +1079,66 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_anime_delta(spark, sf_dir):
+    """Anime episode-list incremental merge (FaselAnimeScraper.py:112-124
+    semantics, operators/merge.anime_episode_delta): unchanged series pass
+    their stored episodes through untouched; changed/new series append only
+    the slice past the stored count, and the stored count grows by the
+    number of appended episodes.  Modeled on lineitem (current episode
+    lists) + a derived prior table; the oracle recomputes the merge in
+    SQL."""
+    from pyspark.sql.window import Window
+
+    from no_fasel_scrapers_spark.operators.merge import anime_episode_delta
+
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("k").orderBy("l_linenumber")
+    cur = li.select(F.col("l_orderkey").alias("k"), "l_linenumber").withColumn(
+        "num", F.row_number().over(w).cast("int")
+    )
+    ks = F.col("k").cast("string")
+    cur_entries = cur.select(
+        ks.alias("series_id"),
+        F.concat(F.lit("e"), ks, F.lit("x"), F.col("num").cast("string")).alias("eid"),
+        "num",
+        F.concat(F.lit("src"), ks, F.lit("-"), F.col("num").cast("string")).alias("src"),
+    )
+    keys = (
+        li.select(F.col("l_orderkey").alias("k"))
+        .distinct()
+        .filter(F.col("k") % 3 == 0)
+    )
+    old_n = (F.col("k") % 4).cast("int")
+    eps_map = F.map_from_entries(
+        F.transform(
+            F.when(old_n > 0, F.sequence(F.lit(1), old_n)).otherwise(
+                F.array().cast("array<int>")
+            ),
+            lambda j: F.struct(
+                F.concat(
+                    F.lit("e"), ks, F.lit("x"), j.cast("string")
+                ).alias("key"),
+                F.struct(
+                    j.cast("int").alias("Episode Number"),
+                    F.concat(
+                        F.lit("old"), ks, F.lit("-"), j.cast("string")
+                    ).alias("Source"),
+                ).alias("value"),
+            ),
+        )
+    )
+    prior = keys.select(
+        ks.alias("series_id"),
+        old_n.alias("old_count"),
+        F.to_json(eps_map).alias("old_eps_json"),
+    )
+    out = anime_episode_delta(prior, cur_entries)
+    return out.select(
+        "series_id", "eid", "num", "src",
+        "old_count", "episodes_total", "n_new",
+    )
+
+
 def q_crawl_e2e(spark, sf_dir):
     """The crawl engine end-to-end on the deterministic synthetic site
     fixture: frontier waves, robots, bloom dedup, politeness, extraction.
@@ -1149,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_without_orders": q_customers_without_orders,
         "union_precedence_old_wins": q_union_precedence_old_wins,
         "episode_delta": q_episode_delta,
+        "anime_delta": q_anime_delta,
         "nested_assembly": q_nested_assembly,
         "integrity_manifest": q_integrity_manifest,
         "event_type_decode": q_event_type_decode,
@@ -1420,6 +1481,57 @@ def oracle_sql() -> dict[str, str]:
                     FROM orders WHERE o_orderkey % 3 = 0
                 )
             ) WHERE rn = 1
+        """,
+        "anime_delta": """
+            WITH cur AS (
+                SELECT CAST(l_orderkey AS VARCHAR) AS series_id,
+                       l_orderkey AS k,
+                       CAST(row_number() OVER (
+                           PARTITION BY l_orderkey ORDER BY l_linenumber
+                       ) AS INT) AS num
+                FROM lineitem
+            ), st AS (
+                SELECT series_id, k, COUNT(*) AS cur_count,
+                       CASE WHEN k % 3 = 0 THEN CAST(k % 4 AS INT)
+                            ELSE 0 END AS old_count
+                FROM cur GROUP BY series_id, k
+            ), nn AS (
+                SELECT c.series_id, COUNT(*) AS n_new
+                FROM cur c JOIN st USING (series_id)
+                WHERE st.cur_count <> st.old_count AND c.num > st.old_count
+                GROUP BY c.series_id
+            ), totals AS (
+                SELECT st.series_id, st.k, st.cur_count,
+                       CAST(st.old_count AS INT) AS old_count,
+                       CAST(st.old_count + COALESCE(nn.n_new, 0) AS INT)
+                           AS episodes_total,
+                       CAST(COALESCE(nn.n_new, 0) AS INT) AS n_new
+                FROM st LEFT JOIN nn USING (series_id)
+            ), old_eps AS (
+                SELECT series_id,
+                       'e' || CAST(k AS VARCHAR) || 'x'
+                           || CAST(j AS VARCHAR) AS eid,
+                       CAST(j AS INT) AS num,
+                       'old' || CAST(k AS VARCHAR) || '-'
+                           || CAST(j AS VARCHAR) AS src
+                FROM (SELECT series_id, k, old_count FROM st
+                      WHERE old_count > 0),
+                     UNNEST(generate_series(1, old_count)) AS u(j)
+            ), merged AS (
+                SELECT * FROM old_eps
+                UNION ALL
+                SELECT c.series_id,
+                       'e' || CAST(c.k AS VARCHAR) || 'x'
+                           || CAST(c.num AS VARCHAR),
+                       c.num,
+                       'src' || CAST(c.k AS VARCHAR) || '-'
+                           || CAST(c.num AS VARCHAR)
+                FROM cur c JOIN totals t USING (series_id)
+                WHERE t.cur_count <> t.old_count AND c.num > t.old_count
+            )
+            SELECT m.series_id, m.eid, m.num, m.src,
+                   t.old_count, t.episodes_total, t.n_new
+            FROM merged m JOIN totals t USING (series_id)
         """,
         "episode_delta": """
             WITH cur AS (

@@ -76,9 +76,13 @@ def _spark(cpus: int):
             # The bench pages table compresses ~40× (templated HTML), so
             # default 128m splits would pack the whole table into a handful
             # of tasks and starve the executor slots; split small so the
-            # *decompressed* work per task stays balanced.
-            "spark.sql.files.maxPartitionBytes": "1m",
-            "spark.sql.files.openCostInBytes": "131072",
+            # *decompressed* work per task stays balanced.  256k + low open
+            # cost ≈ one task per generated file (256) — ~8 tasks/core at
+            # local[32] vs ~2/core with the old 1m packing, whose tail
+            # imbalance hit the BIG level disproportionately and showed up
+            # as a fake scaling loss (round-1 8→32 raw efficiency 0.726).
+            "spark.sql.files.maxPartitionBytes": "262144",
+            "spark.sql.files.openCostInBytes": "65536",
         },
     )
 

@@ -46,6 +46,7 @@ DETAIL_FIELDS = (
     "image_url string, iframe_src string, short_link_id string, "
     "episode_links array<string>, "
     "seasons array<struct<season_id string, season_number int>>, "
+    "episode_entries array<struct<url string, num int>>, "
     "episode_id string, episode_number int, sources_json string, "
     "next_url string"
 )
@@ -191,8 +192,9 @@ def _first_iframe_src(root: Node) -> str | None:
 _EMPTY_FIELDS = {
     "item_id": None, "title": None, "fmt": None, "genres": None,
     "image_url": None, "iframe_src": None, "short_link_id": None,
-    "episode_links": None, "seasons": None, "episode_id": None,
-    "episode_number": None, "sources_json": None, "next_url": None,
+    "episode_links": None, "seasons": None, "episode_entries": None,
+    "episode_id": None, "episode_number": None, "sources_json": None,
+    "next_url": None,
 }
 
 
@@ -254,12 +256,33 @@ def _x_fasel_detail(root: Node, url: str):
         {"url": f"https://{_host_from_url(url)}/?p={s['season_id']}", "role": "season"}
         for s in seasons
     ]
+    # Anime-style detail pages carry div.epAll DIRECTLY (no seasons):
+    # FaselAnimeScraper.py:100-110 lists episode anchors on the detail page
+    # and derives each Episode Number from the anchor TEXT
+    # (``int(remove_arabic_chars(episode.text).strip())``, line 52).  Movie
+    # and series detail pages have no epAll, so capturing it here lets one
+    # detail extractor serve all three fasel families.
+    entries = []
+    ep_div = root.find("div", class_="epAll")
+    if ep_div is not None:
+        for a in ep_div.find_all("a"):
+            href = a.get("href")
+            if not href:
+                continue
+            t = a.text.encode("ascii", "ignore").decode().strip()
+            try:
+                num = int(t)
+            except ValueError:
+                num = None
+            entries.append({"url": href, "num": num})
+            links.append({"url": href, "role": "anime_episode"})
     return links, None, _fields(
         item_id=_content_id(root),
         fmt=_content_format(root),
         genres=_fasel_genres(root),
         iframe_src=_first_iframe_src(root),
         seasons=seasons or None,
+        episode_entries=entries or None,
     ), None
 
 
@@ -280,6 +303,17 @@ def _x_fasel_episode(root: Node, url: str):
     ep_id = None if span is None else span.text.split("=")[-1]
     return [], None, _fields(
         episode_id=ep_id, iframe_src=_first_iframe_src(root)
+    ), None
+
+
+def _x_fasel_anime_episode(root: Node, url: str):
+    """Fasel anime episode page — ``FaselAnimeScraper.py:36-57``: the
+    episode is KEYED by its own page's content id (get_content_id of the
+    episode soup), and the Source is the RAW first-iframe src (the anime
+    scraper does NOT run clean_iframe_source, unlike movies/series)."""
+    return [], None, _fields(
+        episode_id=_content_id(root),
+        iframe_src=_first_iframe_src(root),
     ), None
 
 
@@ -548,6 +582,7 @@ _DISPATCH = {
     ("fasel", "detail"): _x_fasel_detail,
     ("fasel", "season"): _x_fasel_season,
     ("fasel", "episode"): _x_fasel_episode,
+    ("fasel", "anime_episode"): _x_fasel_anime_episode,
     ("fasel", "home"): _x_fasel_home,
     ("fasel", "trending"): _x_fasel_trending_detail,
     ("fasel", "featured"): _x_fasel_trending_detail,

@@ -71,3 +71,86 @@ def episode_delta(
     return j.withColumn(
         "needs_update", F.col(new_count_col) != F.col("old_count")
     )
+
+
+ANIME_EPS_SCHEMA = "map<string, struct<`Episode Number` int, Source string>>"
+
+
+def anime_episode_delta(
+    prior: DataFrame,
+    current_entries: DataFrame,
+    key: str = "series_id",
+) -> DataFrame:
+    """Anime incremental merge — FaselAnimeScraper.py:112-124 semantics.
+
+    The anime scraper's delta structure is per-EPISODE-LIST, without the
+    series family's seasons level: for a known anime whose current anchor
+    count equals the stored ``Number Of Episodes``, nothing is rescraped
+    (the old record passes through untouched); on a count mismatch only
+    the episodes PAST the stored count are scraped and appended
+    (``scrape_episodes(current, episodes, start=old_number)``, line 119),
+    and the stored count grows by the number of newly-scraped episodes
+    (line 121).  Unknown anime (KeyError, line 124) get a full record.
+
+    Inputs:
+      prior:            (series_id, old_count, old_eps_json) — the stored
+                        records; old_eps_json in ANIME_EPS_SCHEMA shape
+      current_entries:  (series_id, eid, num, src) — this crawl's episode
+                        rows, num = the anchor-text episode number that
+                        also defines the slice position
+    Output: one row per merged episode
+      (series_id, eid, num, src, old_count, episodes_total, n_new)
+    with episodes_total = old_count + n_new (the reference's ``+= len(new
+    episodes)``), computed entirely as joins + one groupBy — no driver
+    loops, so a 10^7-series catalog merges in one shuffle."""
+    pr = prior.select(
+        F.col(key),
+        F.col("old_count"),
+        F.explode_outer(
+            F.from_json(F.col("old_eps_json"), ANIME_EPS_SCHEMA)
+        ).alias("eid", "v"),
+    ).select(
+        key, "old_count", "eid",
+        F.col("v.`Episode Number`").alias("num"),
+        F.col("v.Source").alias("src"),
+    )
+    counts = current_entries.groupBy(key).agg(
+        F.count("*").cast("int").alias("cur_count")
+    )
+    oc = prior.select(key, "old_count")
+    state = counts.join(F.broadcast(oc), key, "left").withColumn(
+        "old_count", F.coalesce(F.col("old_count"), F.lit(0))
+    )
+
+    # unchanged series: old episodes pass through untouched
+    unchanged_keys = state.filter(
+        F.col("cur_count") == F.col("old_count")
+    ).select(key)
+    unchanged = pr.join(unchanged_keys, key, "left_semi").filter(
+        F.col("eid").isNotNull()
+    )
+
+    # changed/new series: old episodes + the slice past old_count
+    changed = state.filter(F.col("cur_count") != F.col("old_count"))
+    old_part = pr.join(changed.select(key), key, "left_semi").filter(
+        F.col("eid").isNotNull()
+    )
+    new_part = (
+        current_entries.join(F.broadcast(changed), key, "inner")
+        .filter(F.col("num") > F.col("old_count"))
+        .select(key, "eid", "num", "src")
+    )
+    merged = old_part.select(key, "eid", "num", "src").unionByName(new_part)
+
+    n_new = new_part.groupBy(key).agg(
+        F.count("*").cast("int").alias("n_new")
+    )
+    totals = (
+        state.join(n_new, key, "left")
+        .withColumn("n_new", F.coalesce(F.col("n_new"), F.lit(0)))
+        .withColumn("episodes_total", F.col("old_count") + F.col("n_new"))
+        .select(key, "old_count", "episodes_total", "n_new")
+    )
+    return merged.unionByName(unchanged.select(key, "eid", "num", "src")).join(
+        F.broadcast(totals), key, "inner"
+    )

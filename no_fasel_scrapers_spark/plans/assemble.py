@@ -107,7 +107,9 @@ def assemble_fasel_movies(extracted: DataFrame, image_cache: DataFrame) -> DataF
         "url", canonicalize_url(F.col("card_url")),
     )
     fields = _fields(extracted, "fasel", "detail").filter(
-        F.col("item_id").isNotNull() & F.col("seasons").isNull()
+        F.col("item_id").isNotNull()
+        & F.col("seasons").isNull()
+        & F.col("episode_entries").isNull()  # anime details are not movies
     )
     j = fields.join(cards.drop("category"), "url", "inner")
     j = j.withColumn("title", clean_title(F.col("raw_title")))
@@ -238,6 +240,101 @@ def assemble_fasel_series(extracted: DataFrame, image_cache: DataFrame) -> DataF
         "title",
         F.coalesce(F.col("fmt"), F.lit("N/A")).alias("fmt"),
         F.coalesce(F.col("genres"), F.array().cast("array<string>")).alias("genres"),
+        "image_source",
+        "episodes_total",
+        "seasons_json",
+    )
+
+
+def assemble_fasel_anime(
+    extracted: DataFrame, image_cache: DataFrame, translations: DataFrame
+) -> DataFrame:
+    """FaselAnimeScraper.py as joins — the anime family's structure is
+    DISTINCT from fasel-series: div.epAll sits directly on the detail page
+    (no seasons level), each episode is keyed by its own page's content id,
+    Episode Number comes from the listing-anchor text, and the Source is
+    the RAW iframe src (never clean_iframe_source'd).  The title runs
+    through the translation lookup + exact post-translation cleanup (O17,
+    ``clean_anime_title``) on the RAW listing title — the reference
+    translates before any year/arabic cleanup (FaselAnimeScraper.py:120).
+
+    Output matches the series record shape with category='anime' and a
+    single-level episodes map as ``seasons_json``:
+    ``{episode_id: {"Episode Number": n, "Source": raw_src}}``.
+
+    ``Number Of Episodes`` counts the ANCHOR list (the reference uses
+    ``len(anime_episodes_list)``, line 108), not the successfully-scraped
+    episodes — an episode page without an iframe is skipped from the map
+    (TypeError → continue, line 48) but still counted."""
+    cards = (
+        _cards(extracted, "fasel")
+        .filter(F.col("title").isNotNull())
+        .select(
+            F.col("title").alias("raw_title"),
+            F.col("image_url").alias("raw_image"),
+            canonicalize_url(F.col("url")).alias("url"),
+        )
+    )
+    detail = _fields(extracted, "fasel", "detail").filter(
+        F.col("episode_entries").isNotNull() & F.col("item_id").isNotNull()
+    )
+    eps = detail.select(
+        F.col("url").alias("series_url"),
+        F.col("item_id").alias("series_id"),
+        F.explode("episode_entries").alias("e"),
+    ).select(
+        "series_url", "series_id",
+        F.col("e.url").alias("ep_url"),
+        F.col("e.num").alias("ep_number"),
+    )
+    ep_pages = _fields(extracted, "fasel", "anime_episode").select(
+        F.col("url").alias("ep_url"),
+        F.col("episode_id"),
+        F.col("iframe_src").alias("ep_source"),  # RAW, by design
+    )
+    chase = eps.join(ep_pages, "ep_url", "left")
+    per_anime = chase.groupBy("series_url", "series_id").agg(
+        F.count("*").cast("int").alias("episodes_total"),
+        F.to_json(
+            F.map_from_entries(
+                _sort_by_key(
+                    F.collect_list(
+                        F.when(
+                            F.col("ep_source").isNotNull()
+                            & F.col("episode_id").isNotNull(),
+                            F.struct(
+                                F.col("episode_id").alias("key"),
+                                F.struct(
+                                    F.col("ep_number").alias("Episode Number"),
+                                    F.col("ep_source").alias("Source"),
+                                ).alias("value"),
+                            ),
+                        )
+                    )
+                )
+            )
+        ).alias("seasons_json"),
+    )
+    j = per_anime.join(
+        detail.select(F.col("url").alias("series_url"), "fmt"), "series_url"
+    ).join(cards.withColumnRenamed("url", "series_url"), "series_url")
+    j = resolve_image(
+        F.concat(F.col("series_id"), F.lit("-fasel")),
+        F.col("raw_image"),
+        image_cache,
+        j,
+    )
+    j = j.withColumn("title", F.col("raw_title"))
+    from .postprocess import translate_titles
+
+    j = translate_titles(j, translations)
+    return j.select(
+        F.lit("fasel").alias("site"),
+        F.lit("anime").alias("category"),
+        "series_id",
+        "title",
+        F.coalesce(F.col("fmt"), F.lit("N/A")).alias("fmt"),
+        F.array().cast("array<string>").alias("genres"),
         "image_source",
         "episodes_total",
         "seasons_json",
@@ -405,7 +502,15 @@ def assemble_akwam_series(
 
 
 def assemble_hdw(extracted: DataFrame) -> DataFrame:
-    """HDWMoviesScraper.py:23-44 — cards are complete records."""
+    """HDWMoviesScraper.py:23-44 — cards are complete records.
+
+    There is deliberately NO hdw-series assembly: the reference's
+    ``HDWSeriesScraper.py`` is dead code — it crashes on import (references
+    an undefined ``HDW_BASE_URL``; no module defines or exports it) and is
+    absent from ``ScrapeAll.py``'s orchestration, so no hdw-series output
+    file exists to be parity-checked against.  The exclusion is asserted in
+    ``tests/test_golden.py::test_hdw_series_intentionally_absent`` so it
+    stays a decision, not an accident (VERDICT r1 missing #5)."""
     cards = _cards(extracted, "hdw")
     return cards.select(
         F.lit("hdw").alias("site"),
@@ -523,8 +628,16 @@ def assemble_all_flat(
 
 
 def assemble_all_series(
-    extracted: DataFrame, image_cache: DataFrame, akwam_genres: DataFrame
+    extracted: DataFrame,
+    image_cache: DataFrame,
+    akwam_genres: DataFrame,
+    translations: DataFrame | None = None,
 ) -> DataFrame:
-    return assemble_fasel_series(extracted, image_cache).unionByName(
+    out = assemble_fasel_series(extracted, image_cache).unionByName(
         assemble_akwam_series(extracted, image_cache, akwam_genres)
     )
+    if translations is not None:
+        out = out.unionByName(
+            assemble_fasel_anime(extracted, image_cache, translations)
+        )
+    return out

@@ -47,9 +47,12 @@ def assembled(spark, fixture, tmp_path_factory):
     # cimanow IDs arrive at scrape time (CimaNowMovieScraper.py:70)
     flat = enrich_tmdb(flat, fixture.tmdb_df(spark))
     series = assemble_all_series(
-        res.extracted, fixture.image_cache_df(spark), akwam_genres_df(spark)
+        res.extracted,
+        fixture.image_cache_df(spark),
+        akwam_genres_df(spark),
+        translations=fixture.translations_df(spark),
     )
-    return flat, series
+    return flat, series, res
 
 
 def _norm(row, cols):
@@ -64,7 +67,7 @@ def _norm(row, cols):
 
 class TestGoldenFlat:
     def test_flat_records_byte_identical(self, assembled, fixture):
-        flat, _ = assembled
+        flat, _, _res = assembled
         got = sorted(_norm(r, FLAT_COLS) for r in flat.collect())
         exp = sorted(
             _norm(
@@ -84,9 +87,98 @@ class TestGoldenFlat:
 
 class TestGoldenSeries:
     def test_series_records_byte_identical(self, assembled, fixture):
-        _, series = assembled
+        _flat, series, _res = assembled
+        series = series.filter(F.col("category") != "anime")  # TestGoldenAnime
         got = sorted(_norm(r, SERIES_COLS) for r in series.collect())
         exp = sorted(_norm(g, SERIES_COLS) for g in fixture.golden_series)
         assert len(got) == len(exp), (len(got), len(exp))
         for g, e in zip(got, exp):
             assert g == e, f"\ngot: {g}\nexp: {e}"
+
+
+class TestGoldenAnime:
+    def test_anime_records_byte_identical(self, assembled, fixture):
+        """The anime family as a first-class site variant (VERDICT r1 #7):
+        epAll on the detail page, episode keyed by its own page's content
+        id, RAW iframe Source, translated+cleaned title."""
+        _flat, series, _res = assembled
+        anime = series.filter(F.col("category") == "anime")
+        got = sorted(_norm(r, SERIES_COLS) for r in anime.collect())
+        exp = sorted(_norm(g, SERIES_COLS) for g in fixture.golden_anime)
+        assert len(got) == len(exp) > 0, (len(got), len(exp))
+        for g, e in zip(got, exp):
+            assert g == e, f"\ngot: {g}\nexp: {e}"
+
+    def test_anime_episode_delta_semantics(self, assembled, fixture, spark):
+        """FaselAnimeScraper.py:112-124: stored-count==current -> old record
+        untouched; mismatch -> only the slice past the stored count is
+        appended and the count grows by the appended length."""
+        import json
+
+        from no_fasel_scrapers_spark.operators.merge import anime_episode_delta
+
+        _flat, _series, res = assembled
+        detail = res.extracted.filter(
+            (F.col("site") == "fasel")
+            & (F.col("fields.episode_entries").isNotNull())
+        )
+        entries = detail.select(
+            F.col("fields.item_id").alias("series_id"),
+            F.explode("fields.episode_entries").alias("e"),
+        ).select(
+            "series_id",
+            F.element_at(F.split(F.col("e.url"), "/", -1), -1).alias("eid"),
+            F.col("e.num").alias("num"),
+            F.concat(F.lit("live:"), F.col("e.url")).alias("src"),
+        )
+        prior = fixture.anime_prior_df(spark)
+        out = anime_episode_delta(prior, entries)
+        rows = out.collect()
+        by_series = {}
+        for r in rows:
+            by_series.setdefault(r["series_id"], []).append(r)
+
+        priors = {p["series_id"]: p for p in fixture.anime_prior}
+        goldens = {g["series_id"]: g for g in fixture.golden_anime}
+        assert priors, "fixture must plant prior anime records"
+        for sid, g in goldens.items():
+            got = by_series[sid]
+            n_cur = g["episodes_total"]
+            if sid in priors:
+                old_n = priors[sid]["old_count"]
+                old_eps = json.loads(priors[sid]["old_eps_json"])
+                assert got[0]["old_count"] == old_n
+                # mismatched count -> append slice past old_count
+                assert got[0]["n_new"] == n_cur - old_n
+                assert got[0]["episodes_total"] == n_cur
+                srcs = {r["eid"]: r["src"] for r in got}
+                for eid, ep in old_eps.items():
+                    assert srcs[eid] == ep["Source"]  # pass-through, not rescrape
+                n_live = sum(1 for s in srcs.values() if s.startswith("live:"))
+                assert n_live == n_cur - old_n
+            else:
+                assert got[0]["old_count"] == 0
+                assert got[0]["n_new"] == n_cur == got[0]["episodes_total"]
+                assert len(got) == n_cur
+
+
+def test_hdw_series_intentionally_absent(assembled):
+    """The extractor family deliberately has no hdw-series role: the
+    reference's HDWSeriesScraper.py is dead code — it imports HDW_BASE_URL
+    from Common, which no module defines (ImportError at import time), and
+    ScrapeAll.py never references it — so there is no reference output to
+    match.  Guard that no hdw series records appear and no hdw role beyond
+    'listing' exists in the extraction dispatch."""
+    from no_fasel_scrapers_spark.functions.extract import _DISPATCH
+
+    hdw_roles = sorted(role for site, role in _DISPATCH if site == "hdw")
+    assert hdw_roles == ["listing"]
+
+    _flat, series, res = assembled
+    assert series.filter(F.col("site") == "hdw").count() == 0
+    assert (
+        res.extracted.filter(
+            (F.col("site") == "hdw") & (F.col("role") != "listing")
+        ).count()
+        == 0
+    )
