@@ -905,6 +905,37 @@ def q_minhash_dedup(spark, sf_dir):
     return minhash_dedup(d).select("doc_id", "lang")
 
 
+def q_near_dup_groups(spark, sf_dir):
+    """Transitive near-dup group resolution: verified MinHash pairs →
+    alternating large-star/small-star connected components (Kiveris et
+    al. 2014) → one deterministic survivor per duplicate cluster.
+
+    This is the step ``minhash_dedup`` approximates with a one-level pair
+    collapse; chains (A~B~C, A!~C) need the real transitive closure.
+    Analytic oracle: plain-Python union-find over the same verified pairs
+    (oracle/analytic.py::near_dup_groups_rows)."""
+    from no_fasel_scrapers_spark.operators.components import (
+        near_dup_groups,
+        resolve_survivors,
+    )
+    from no_fasel_scrapers_spark.operators.dedup import (
+        jaccard_verify_hashed,
+        lsh_candidate_pairs,
+        with_minhash,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = with_minhash(d, "text", 16, 3, keep_gram_hashes=True).select(
+        "doc_id", "gram_hashes", "minhash"
+    ).persist()
+    pairs = jaccard_verify_hashed(
+        lsh_candidate_pairs(sigs), sigs, threshold=0.8
+    )
+    groups = near_dup_groups(d, pairs)
+    out = resolve_survivors(d.select("doc_id"), groups)
+    return out.select("doc_id", "group_id", "is_survivor")
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup: 16-bit chunk blocking + bit_count verify."""
     from no_fasel_scrapers_spark.operators.dedup import (
@@ -1242,6 +1273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "cosine_pairs_exact": q_cosine_pairs_exact,
         "minhash_dedup": q_minhash_dedup,
+        "near_dup_groups": q_near_dup_groups,
         "simhash_pairs": q_simhash_pairs,
         "ivf_ann": q_ivf_ann,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1291,6 +1323,7 @@ def _analytic_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     builders = {
         "minhash_dedup": ao.minhash_dedup_sql,
+        "near_dup_groups": ao.near_dup_groups_sql,
         "simhash_pairs": ao.simhash_pairs_sql,
         "ivf_ann": ao.ivf_ann_sql,
         "embedding_near_dup_lsh": ao.embedding_near_dup_sql,

@@ -202,21 +202,36 @@ def main() -> None:
             hi_lo = [int(x) for x in levels.split(",")]
         else:
             hi_lo = [CPUS, max(CPUS // 4, 1)]
-        results = {}
-        for cpus in hi_lo:
-            cmd = [sys.executable, os.path.abspath(__file__),
-                   "--extract-once", str(cpus)]
-            if shutil.which("taskset"):
-                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            env = dict(os.environ, SPARK_GRAFT_BENCH_PAGES=str(N_PAGES))
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, env=env, check=True
-            )
-            secs = json.loads(out.stdout.strip().splitlines()[-1])["sec"]
-            results[cpus] = {
+        # Interleave the levels across trials (hi, lo, hi, lo, ...) and
+        # take the per-level best.  The levels run minutes apart on a
+        # shared-host VM whose noisy-neighbor/thermal state drifts on
+        # exactly that timescale — running all of one level, then all of
+        # the other, bakes the drift into the ratio (observed: three
+        # serialized 32-core runs in one session declined 195k → 160k →
+        # 155k pages/sec while the 8-core level held steady).  Interleaving
+        # samples both levels under the same box conditions; best-of is
+        # the same least-contended estimator the non-scaling bench uses.
+        trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+        best: dict[int, float] = {}
+        for _ in range(trials):
+            for cpus in hi_lo:
+                cmd = [sys.executable, os.path.abspath(__file__),
+                       "--extract-once", str(cpus)]
+                if shutil.which("taskset"):
+                    cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+                env = dict(os.environ, SPARK_GRAFT_BENCH_PAGES=str(N_PAGES))
+                out = subprocess.run(
+                    cmd, capture_output=True, text=True, env=env, check=True
+                )
+                secs = json.loads(out.stdout.strip().splitlines()[-1])["sec"]
+                best[cpus] = min(best.get(cpus, float("inf")), secs)
+        results = {
+            cpus: {
                 "sec": round(secs, 2),
                 "pages_per_sec": round(N_PAGES / secs, 1),
             }
+            for cpus, secs in best.items()
+        }
         hi, lo = hi_lo
         eff = results[hi]["pages_per_sec"] / (
             results[lo]["pages_per_sec"] * (hi / lo)
@@ -227,6 +242,7 @@ def main() -> None:
             "unit": "ratio",
             "n_pages": N_PAGES,
             "pinned": bool(shutil.which("taskset")),
+            "trials": trials,
             "levels": {f"local[{k}]": v for k, v in results.items()},
         }))
         return

@@ -108,6 +108,8 @@ def _sql_val(v, typ: str) -> str:
     if typ == "VARCHAR":
         s = str(v).replace("'", "''")
         return f"'{s}'"
+    if typ == "BOOLEAN":
+        return "TRUE" if v else "FALSE"
     raise ValueError(typ)
 
 
@@ -153,11 +155,12 @@ def _word_ngrams(text: str, n: int = 3) -> list[str]:
 # minhash_dedup
 # ---------------------------------------------------------------------------
 
-def minhash_dedup_rows(
+def _minhash_verified_pairs(
     sf: str, k: int = 16, bands: int = 4, ngram: int = 3,
     threshold: float = 0.8, max_bucket: int = 200,
-):
-    """Survivors of the MinHash→LSH→Jaccard pipeline: (doc_id, lang)."""
+) -> set[tuple[int, int]]:
+    """Verified (a < b) duplicate pairs of the MinHash→LSH→Jaccard path
+    (shared by minhash_dedup and near_dup_groups oracles)."""
     docs = _docs(sf)
     gram_hashes: dict[int, list[int]] = {}
     sigs: dict[int, list[int]] = {}
@@ -186,14 +189,67 @@ def minhash_dedup_rows(
             for j in range(i + 1, len(ids)):
                 cand.add((ids[i], ids[j]))
 
-    drop: set[int] = set()
+    dups: set[tuple[int, int]] = set()
     for a, b in cand:
         ga, gb = set(gram_hashes[a]), set(gram_hashes[b])
         uni = len(ga | gb)
         jac = 1.0 if uni == 0 else len(ga & gb) / float(uni)
         if jac >= threshold:
-            drop.add(b)
+            dups.add((a, b))
+    return dups
+
+
+def minhash_dedup_rows(
+    sf: str, k: int = 16, bands: int = 4, ngram: int = 3,
+    threshold: float = 0.8, max_bucket: int = 200,
+):
+    """Survivors of the MinHash→LSH→Jaccard pipeline: (doc_id, lang)."""
+    docs = _docs(sf)
+    drop = {
+        b for _a, b in _minhash_verified_pairs(
+            sf, k, bands, ngram, threshold, max_bucket
+        )
+    }
     return [(d, lang) for d, _t, lang in docs if d not in drop]
+
+
+def near_dup_groups_rows(sf: str):
+    """Union-find over the verified minhash pairs: (doc_id, group_id,
+    is_survivor) for every document, group label = component minimum —
+    the transitive closure the Spark side computes with alternating
+    large-star/small-star connected components."""
+    docs = _docs(sf)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _minhash_verified_pairs(sf):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for n in list(parent):
+        r = find(n)
+        comp_min[r] = min(comp_min.get(r, n), n)
+    out = []
+    for doc_id, _t, _l in docs:
+        gid = comp_min[find(doc_id)] if doc_id in parent else doc_id
+        out.append((doc_id, gid, doc_id == gid))
+    return out
+
+
+def near_dup_groups_sql(sf: str | None = None) -> str:
+    rows = near_dup_groups_rows(sf or sf_dir())
+    return values_sql(
+        rows,
+        [("doc_id", "BIGINT"), ("group_id", "BIGINT"),
+         ("is_survivor", "BOOLEAN")],
+    )
 
 
 def minhash_dedup_sql(sf: str | None = None) -> str:
