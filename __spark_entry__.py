@@ -936,6 +936,49 @@ def q_near_dup_groups(spark, sf_dir):
     return out.select("doc_id", "group_id", "is_survivor")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Train/test n-gram decontamination (operators/corpus.py): test set =
+    doc_id % 17 == 0, flag every training doc sharing a word 4-gram with
+    any test doc.  The test gram-hash set broadcasts; the training side is
+    one narrow pass — no shuffle of the big side.
+    Analytic oracle: oracle/analytic.py::decontaminate_rows."""
+    from no_fasel_scrapers_spark.operators.corpus import decontaminate
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    test = d.where(F.col("doc_id") % 17 == 0)
+    train = d.where(F.col("doc_id") % 17 != 0)
+    return decontaminate(train, test, n=4)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic per-language hash sampling (operators/corpus.py):
+    keep fractions en=0.5 zh=0.25 fr=0.1 (default 0.05) keyed on
+    pmod(xxhash64(7, doc_id), 1e6) — reproducible across retries and
+    cluster sizes, pure column predicate (pushes into the scan).
+    Analytic oracle: oracle/analytic.py::sample_stratified_rows."""
+    from no_fasel_scrapers_spark.operators.corpus import sample_stratified
+    from no_fasel_scrapers_spark.oracle.analytic import (
+        SAMPLE_DEFAULT,
+        SAMPLE_FRACTIONS,
+        SAMPLE_SEED,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sample_stratified(
+        d, "doc_id", "lang", SAMPLE_FRACTIONS,
+        default_fraction=SAMPLE_DEFAULT, seed=SAMPLE_SEED,
+    )
+
+
+def q_vocab_top_terms(spark, sf_dir):
+    """Top-100 terms by document frequency (operators/corpus.py): one
+    explode + map-side-combined shuffle on term + TakeOrderedAndProject;
+    deterministic (doc_freq DESC, term ASC) boundary. DuckDB SQL oracle."""
+    from no_fasel_scrapers_spark.operators.corpus import vocab_top_terms
+
+    return vocab_top_terms(_t(spark, sf_dir, "documents"), k=100)
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-dup: 16-bit chunk blocking + bit_count verify."""
     from no_fasel_scrapers_spark.operators.dedup import (
@@ -1274,6 +1317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs_exact": q_cosine_pairs_exact,
         "minhash_dedup": q_minhash_dedup,
         "near_dup_groups": q_near_dup_groups,
+        "decontaminate": q_decontaminate,
+        "sample_stratified": q_sample_stratified,
+        "vocab_top_terms": q_vocab_top_terms,
         "simhash_pairs": q_simhash_pairs,
         "ivf_ann": q_ivf_ann,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
@@ -1324,6 +1370,8 @@ def _analytic_oracles() -> dict[str, str]:
     builders = {
         "minhash_dedup": ao.minhash_dedup_sql,
         "near_dup_groups": ao.near_dup_groups_sql,
+        "decontaminate": ao.decontaminate_sql,
+        "sample_stratified": ao.sample_stratified_sql,
         "simhash_pairs": ao.simhash_pairs_sql,
         "ivf_ann": ao.ivf_ann_sql,
         "embedding_near_dup_lsh": ao.embedding_near_dup_sql,
@@ -1344,6 +1392,19 @@ def _analytic_oracles() -> dict[str, str]:
 def oracle_sql() -> dict[str, str]:
     return _analytic_oracles() | {
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "vocab_top_terms": """
+            WITH terms AS (
+                SELECT unnest(list_distinct(
+                           string_split_regex(lower(trim(text)), '\\s+')
+                       )) AS term
+                FROM documents WHERE text IS NOT NULL
+            )
+            SELECT term, COUNT(*) AS doc_freq
+            FROM terms WHERE term <> ''
+            GROUP BY term
+            ORDER BY doc_freq DESC, term
+            LIMIT 100
+        """,
         "asof_join": """
             WITH v AS (
                 SELECT user_id, ts, event_id FROM events

@@ -211,8 +211,19 @@ def main() -> None:
         # 155k pages/sec while the 8-core level held steady).  Interleaving
         # samples both levels under the same box conditions; best-of is
         # the same least-contended estimator the non-scaling bench uses.
+        # Each trial also runs the NO-ENGINE hardware-ceiling control
+        # (scripts/scaling_control.py: the same extraction loop as N pure
+        # pinned Python processes — no JVM/Arrow/parquet/shuffle), so raw
+        # engine efficiency and the box's own ceiling are sampled under
+        # the SAME host conditions.  On a single shared box the big level
+        # pays all-core turbo drop + shared-bandwidth contention that an
+        # N- vs 4N-executor cluster (constant per-node conditions) does
+        # not; raw/ceiling is the engine-attributable number that
+        # transfers.  Disable with SPARK_GRAFT_SCALE_CONTROL=0.
         trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+        control = os.environ.get("SPARK_GRAFT_SCALE_CONTROL", "1") != "0"
         best: dict[int, float] = {}
+        ctl_best: dict[int, float] = {}
         for _ in range(trials):
             for cpus in hi_lo:
                 cmd = [sys.executable, os.path.abspath(__file__),
@@ -225,6 +236,22 @@ def main() -> None:
                 )
                 secs = json.loads(out.stdout.strip().splitlines()[-1])["sec"]
                 best[cpus] = min(best.get(cpus, float("inf")), secs)
+            if control:
+                ctl_cmd = [
+                    sys.executable,
+                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "scripts", "scaling_control.py"),
+                ] + [str(c) for c in hi_lo]
+                env = dict(os.environ, SPARK_GRAFT_SCALE_TRIALS="1")
+                out = subprocess.run(
+                    ctl_cmd, capture_output=True, text=True, env=env,
+                    check=True,
+                )
+                ctl = json.loads(out.stdout.strip().splitlines()[-1])
+                for k, v in ctl["levels"].items():
+                    ctl_best[int(k)] = max(
+                        ctl_best.get(int(k), 0.0), v["total_pages_per_sec"]
+                    )
         results = {
             cpus: {
                 "sec": round(secs, 2),
@@ -236,7 +263,7 @@ def main() -> None:
         eff = results[hi]["pages_per_sec"] / (
             results[lo]["pages_per_sec"] * (hi / lo)
         )
-        print(json.dumps({
+        payload = {
             "metric": "scaling_efficiency",
             "value": round(eff, 3),
             "unit": "ratio",
@@ -244,7 +271,19 @@ def main() -> None:
             "pinned": bool(shutil.which("taskset")),
             "trials": trials,
             "levels": {f"local[{k}]": v for k, v in results.items()},
-        }))
+        }
+        if ctl_best:
+            ctl_eff = ctl_best[hi] / (ctl_best[lo] * (hi / lo))
+            payload["hardware_ceiling"] = {
+                "efficiency": round(ctl_eff, 3),
+                "levels": {
+                    str(k): round(v, 1) for k, v in sorted(ctl_best.items())
+                },
+            }
+            # > 1.0 means the engine scaled better than the no-engine
+            # control under the same conditions (box noise straddles both)
+            payload["engine_attributable"] = round(eff / ctl_eff, 3)
+        print(json.dumps(payload))
         return
 
     spark = _spark(CPUS)

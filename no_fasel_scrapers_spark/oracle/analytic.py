@@ -559,3 +559,68 @@ def media_features_sql(sf: str | None = None) -> str:
         rows,
         [("doc_id", "BIGINT"), ("n_bins", "INTEGER"), ("f0", "DOUBLE")],
     )
+
+
+# ---------------------------------------------------------------------------
+# decontaminate (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+def decontaminate_rows(sf: str, n: int = 4, test_mod: int = 17):
+    """Mirror of q_decontaminate: test set = doc_id % test_mod == 0, flag
+    every remaining (train) doc whose word n-grams collide with any test
+    gram.  (doc_id, n_grams, hit_grams, contaminated)."""
+    docs = _docs(sf)
+    test_hashes: set[int] = set()
+    for doc_id, text, _lang in docs:
+        if doc_id % test_mod == 0 and text is not None:
+            for g in _word_ngrams(text, n):
+                test_hashes.add(_hs(g))
+    out = []
+    for doc_id, text, _lang in docs:
+        if doc_id % test_mod == 0:
+            continue
+        grams = _word_ngrams(text, n) if text is not None else []
+        hits = sum(1 for g in grams if _hs(g) in test_hashes)
+        out.append((doc_id, len(grams), hits, hits >= 1))
+    return out
+
+
+def decontaminate_sql(sf: str | None = None) -> str:
+    rows = decontaminate_rows(sf or sf_dir())
+    return values_sql(
+        rows,
+        [("doc_id", "BIGINT"), ("n_grams", "INTEGER"),
+         ("hit_grams", "BIGINT"), ("contaminated", "BOOLEAN")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified (operators/corpus.py)
+# ---------------------------------------------------------------------------
+
+SAMPLE_FRACTIONS = {"en": 0.5, "zh": 0.25, "fr": 0.1}
+SAMPLE_DEFAULT = 0.05
+SAMPLE_SEED = 7
+_SAMPLE_BUCKETS = 1_000_000
+
+
+def sample_stratified_rows(sf: str):
+    """Mirror of q_sample_stratified: keep doc iff
+    pmod(xxhash64(seed::long, doc_id), 1e6) < fraction[lang]·1e6.
+    Python %'s non-negative result on a positive modulus matches Spark
+    pmod exactly.  (doc_id, lang)."""
+    from ..functions.xxh64 import xxh64_chain
+
+    out = []
+    for doc_id, _text, lang in _docs(sf):
+        h = xxh64_chain([("long", SAMPLE_SEED), ("long", doc_id)])
+        bucket = h % _SAMPLE_BUCKETS
+        frac = SAMPLE_FRACTIONS.get(lang, SAMPLE_DEFAULT)
+        if bucket < int(round(frac * _SAMPLE_BUCKETS)):
+            out.append((doc_id, lang))
+    return out
+
+
+def sample_stratified_sql(sf: str | None = None) -> str:
+    rows = sample_stratified_rows(sf or sf_dir())
+    return values_sql(rows, [("doc_id", "BIGINT"), ("lang", "VARCHAR")])

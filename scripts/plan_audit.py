@@ -112,6 +112,26 @@ EXPECTATIONS = {
         ("hashpartitioning(user_id", True,
          "one shuffle on user_id serves both windows and the final rollup"),
     ],
+    "decontaminate": [
+        ("BroadcastHashJoin", True,
+         "test gram-hash set broadcast — the training side never shuffles "
+         "for the hit join"),
+        ("CartesianProduct", False, "no cartesian product"),
+    ],
+    "sample_stratified": [
+        ("Exchange", False,
+         "deterministic hash sampling is a pure predicate — zero shuffle"),
+        ("ReadSchema: struct<doc_id:bigint,lang:string>", True,
+         "documents scan pruned to the 2 needed columns"),
+    ],
+    "vocab_top_terms": [
+        ("TakeOrderedAndProject", True,
+         "deterministic top-k, not a global sort materialization"),
+        ("partial_count", True,
+         "map-side combine before the single term shuffle"),
+        ("ReadSchema: struct<text:string>", True,
+         "documents scan pruned to the text column"),
+    ],
 }
 
 
