@@ -820,6 +820,60 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_hourly_stream(spark, sf_dir):
+    """The SAME hourly rollup as ``events_hourly``, but computed by
+    Structured Streaming (streaming/ingest.py): file-source stream over
+    the events parquet, watermarked tumbling ``window()`` aggregation,
+    availableNow trigger, memory sink.  availableNow processes everything
+    present then stops, so the finite result must equal the batch SQL —
+    which makes the streaming path itself oracle-checkable (round 1 left
+    streaming as the only surface with no oracle).  Complete output mode:
+    every window is emitted, matching batch semantics exactly (append
+    would hold back windows younger than the final watermark)."""
+    import os
+    import shutil as _sh
+    import tempfile
+    import uuid
+
+    from no_fasel_scrapers_spark.streaming.ingest import run_stream_to_sink
+
+    src = tempfile.mkdtemp(prefix="nfs_stream_events_")
+    _sh.copy(os.path.join(sf_dir, "events.parquet"), src)
+    # watermarks require TIMESTAMP (not NTZ); the session tz is pinned UTC
+    # (session.py), so reading the tz-less parquet micros as TIMESTAMP
+    # keeps wall-clock values identical to the batch/NTZ path
+    ddl = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    ev = spark.readStream.schema(ddl).parquet(src)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "event_type",
+            F.date_format("w.start", "yyyy-MM-dd HH:00").alias("hour"),
+            "n",
+            "sum_value",
+        )
+    )
+    name = "evstream_" + uuid.uuid4().hex[:8]
+    q = run_stream_to_sink(
+        agg,
+        checkpoint=tempfile.mkdtemp(prefix="nfs_stream_ckpt_"),
+        query_name=name,
+        output_mode="complete",
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_media_metadata(spark, sf_dir):
     """Multimodal plumbing: binary payload → typed metadata struct.
 
@@ -1312,6 +1366,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": q_text_stats,
         "ngram_jaccard": q_ngram_jaccard,
         "events_hourly": q_events_hourly,
+        "events_hourly_stream": q_events_hourly_stream,
         "media_metadata": q_media_metadata,
         "ann_bruteforce": q_ann_bruteforce,
         "cosine_pairs_exact": q_cosine_pairs_exact,
@@ -1885,6 +1940,15 @@ def oracle_sql() -> dict[str, str]:
             FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
         """,
         "events_hourly": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        # The streaming path must converge to the identical batch answer
+        # (availableNow drains everything; complete mode emits all windows)
+        "events_hourly_stream": """
             SELECT event_type,
                    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
                    CAST(COUNT(*) AS BIGINT) AS n,
