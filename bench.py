@@ -54,10 +54,15 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "ann_bruteforce",
     "events_hourly",
+    "events_hourly_stream",
     "media_metadata",
     "rollup_status_priority",
     "sessionize_events",
     "chunk_documents",
+    "near_dup_groups",
+    "decontaminate",
+    "vocab_top_terms",
+    "sample_stratified",
 ]
 
 

@@ -80,22 +80,27 @@ def decontaminate(
             grams_of(F.col(text_col)), lambda s: F.xxhash64(s)
         ).alias("gram_hashes"),
     )
-    hits = (
-        grams.select(id_col, F.explode("gram_hashes").alias("gram_hash"))
-        .join(F.broadcast(test_grams), "gram_hash")
-        .groupBy(id_col)
-        .agg(F.count("*").alias("hit_grams"))
+    # Single pass over the training text: gram construction (the expensive
+    # step at 100 TB) runs exactly once; explode_outer keeps zero-gram docs
+    # (NULL text) as one NULL row so every doc survives the groupBy.  The
+    # per-doc shuffle rows collapse map-side (a doc's grams live in one
+    # input row, hence one partition), so the exchange carries ~|docs|
+    # tiny rows, not |grams|.
+    exploded = grams.select(
+        id_col,
+        F.size("gram_hashes").alias("n_grams_row"),
+        F.explode_outer("gram_hashes").alias("gram_hash"),
     )
     return (
-        grams.select(
-            id_col,
-            F.coalesce(F.size("gram_hashes"), F.lit(0)).alias("n_grams"),
+        exploded.join(
+            F.broadcast(test_grams.withColumn("__hit", F.lit(1))),
+            "gram_hash",
+            "left",
         )
-        .join(hits, id_col, "left")
-        .select(
-            id_col,
-            "n_grams",
-            F.coalesce("hit_grams", F.lit(0)).alias("hit_grams"),
+        .groupBy(id_col)
+        .agg(
+            F.coalesce(F.max("n_grams_row"), F.lit(0)).alias("n_grams"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("hit_grams"),
         )
         .withColumn("contaminated", F.col("hit_grams") >= F.lit(min_hits))
     )
