@@ -189,6 +189,62 @@ def main() -> None:
         print(json.dumps({"sec": secs}))
         return
 
+    if "--crawl-scale" in sys.argv:
+        # Full engine (frontier waves, pagination discovery, robots, bloom
+        # dedup, salted politeness, extraction, checkpointing) over the
+        # generated crawlable site at N_PAGES detail items — the north
+        # metric measured through the WHOLE crawl loop at real wave sizes
+        # (one listing wave of N/16 pages, one detail wave of N pages),
+        # not just the extract stage.
+        from no_fasel_scrapers_spark.plans.crawl import run_crawl
+        from no_fasel_scrapers_spark.sources.catalog import Catalog
+        from no_fasel_scrapers_spark.sources.pagegen import (
+            gen_site_pages,
+            site_seed_rows,
+        )
+
+        spark = _spark(CPUS)
+        site_path = os.path.join(
+            tempfile.gettempdir(), f"nfs_bench_site_{N_PAGES}"
+        )
+        if not os.path.exists(os.path.join(site_path, "_SUCCESS")):
+            gen_site_pages(spark, N_PAGES, partitions=256).write.mode(
+                "overwrite"
+            ).parquet(site_path)
+        pages = spark.read.parquet(site_path)
+        seeds = spark.createDataFrame(
+            [tuple(s.values()) for s in site_seed_rows()],
+            "url string, site string, category string, priority int, "
+            "depth int, role string, url_template string",
+        )
+        robots = spark.createDataFrame(
+            [("fasel.test", [], 0)],
+            "host string, disallow_prefixes array<string>, crawl_delay_ms int",
+        )
+        tmp = tempfile.mkdtemp(prefix="nfs_bench_site_crawl_")
+        try:
+            t0 = time.time()
+            res = run_crawl(
+                spark, pages, seeds, robots, Catalog(tmp),
+                n_salts=max(CPUS * 2, 8),
+                expected_urls=max(2 * N_PAGES, 2_000_000),
+                cache_pages=False,
+            )
+            n_extracted = res.extracted.count()
+            wall = time.time() - t0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        print(json.dumps({
+            "metric": "crawl_pages_per_sec",
+            "value": round(n_extracted / wall, 1),
+            "unit": "pages/sec",
+            "n_pages": n_extracted,
+            "waves": res.waves,
+            "sec": round(wall, 2),
+            "cpus": CPUS,
+        }))
+        return
+
     if "--scaling" in sys.argv:
         # Same job, same input, two parallelism levels (N and N/4 cores) —
         # the sandbox stand-in for N vs 4N executors.  Each level runs in

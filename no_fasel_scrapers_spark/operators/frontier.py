@@ -133,12 +133,26 @@ def expand_pagination_df(
     the range as one in-memory array per probe row, so a single corrupt
     page whose parsed last_page is absurd must degrade to a bounded
     expansion, not an executor OOM / array-size error that kills the wave.
+
+    Probes collapse per (site, category, url_template, depth, priority)
+    BEFORE expansion: every listing page of a category re-declares the
+    same pagination extent, so a wave of L listing pages would otherwise
+    explode L × last_page rows (measured: a 10^6-page site's listing wave
+    expanded 3.9 BILLION rows that dedup then discarded).  Union of the
+    ranges = 1..max(last_page); min(from_url) is the lexicographically
+    first discoverer — the same row ``dedup_within`` would keep, so the
+    collapsed expansion is survivor-identical to the naive one.
     """
     ex = (
         probes.filter(
             F.col("last_page").isNotNull()
             & (F.col("last_page") >= 1)
             & F.col("url_template").isNotNull()
+        )
+        .groupBy("site", "category", "url_template", "depth", "priority")
+        .agg(
+            F.max("last_page").alias("last_page"),
+            F.min("from_url").alias("from_url"),
         )
         .select(
             "site", "category", "url_template", "depth", "priority",

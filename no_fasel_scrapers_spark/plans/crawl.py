@@ -64,7 +64,6 @@ from ..functions.extract import EXTRACT_SCHEMA, extract_page
 from ..operators.frontier import (
     dedup_within,
     expand_pagination_df,
-    repartition_for_fetch,
     seeds_to_frontier,
     take_wave,
     with_audit_rank,
@@ -152,10 +151,17 @@ def run_crawl(
     frontier: DataFrame | None = None,
     seen: DataFrame | None = None,
     lineage: list[dict] | None = None,
+    cache_pages: bool = True,
 ) -> CrawlResult:
     pages_k = _prep_pages(pages)
-    # the pages side is reused every wave — cache the slim projection
-    pages_k.cache()
+    # The pages side is scanned once per wave.  Caching pays when the
+    # source is expensive to recompute (the test fixtures materialize from
+    # driver-side rows) and fits in memory; at corpus scale (10^6+ pages,
+    # 100 TB on a cluster) the deserialized-html cache is strictly worse
+    # than re-scanning columnar parquet with the semi-join's pushdown —
+    # pass cache_pages=False there (bench.py --crawl-scale does).
+    if cache_pages:
+        pages_k.cache()
 
     if frontier is None:
         frontier = seeds_to_frontier(seeds, n_salts)
@@ -324,10 +330,29 @@ def run_crawl(
         if bounded_wave:
             wave_keys = F.broadcast(wave_keys)
         pages_wave = pages_k.join(wave_keys, "url_hash", "left_semi")
-        fetched = repartition_for_fetch(
-            scheduled.join(pages_wave, "url_hash", "left").filter(
-                F.col("p_url").isNull() | (F.col("p_url") == F.col("url"))
-            )
+        # NO repartition_for_fetch here: the join output is already
+        # uniformly hash-partitioned on url_hash, and a (host, host_salt)
+        # repartition after the join would shuffle the wave's FULL HTML a
+        # second time (measured: the single largest cost of a 10^6-page
+        # wave).  Host grouping only matters for LIVE fetching — the live
+        # path (plans/live_fetch.py) salt-repartitions its slim wave
+        # BEFORE fetching, when rows are still url-metadata only; here the
+        # politeness schedule (fetch_seq/scheduled_ms) is already computed
+        # on the slim side, and extraction is row-wise.
+        #
+        # SHUFFLE_HASH pin (measured pathology, round 2): AQE estimated
+        # the semi-joined pages side small from the semi's selectivity
+        # guess and converted this join to broadcast — materializing the
+        # wave's FULL HTML (1 GB+ at 10^6 pages, unbounded at 10^10) as a
+        # broadcast relation AFTER already shuffling it for the initial
+        # sort-merge plan.  The hint gives the one plan that is safe at
+        # every wave size: each side shuffles once on url_hash, per-
+        # partition hash build, no sort of the html side, no html
+        # broadcast ever.
+        fetched = scheduled.join(
+            pages_wave.hint("SHUFFLE_HASH"), "url_hash", "left"
+        ).filter(
+            F.col("p_url").isNull() | (F.col("p_url") == F.col("url"))
         )
 
         extracted = fetched.select(
@@ -458,6 +483,7 @@ def run_crawl(
         # Results are identical to the full anti-join; the wave-side
         # bloom+anti-join remains the correctness gate either way.
         discoveries = child.unionByName(pagination)
+        _mark("next_frontier_plan")
         if leftover_vs_full:
             # one-off: imported-history frontier may overlap prior seen
             leftover_p = leftover.join(
@@ -481,6 +507,7 @@ def run_crawl(
         )
         nxt = leftover_p.unionByName(disc_p)
 
+        _mark("next_frontier_prune_plan")
         f_snap = catalog.write(nxt, "frontier", meta={"wave": wave_no + 1})
         frontier_rows = f_snap.rows
         frontier = catalog.read(spark, "frontier")

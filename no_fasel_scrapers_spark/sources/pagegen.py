@@ -87,3 +87,112 @@ def gen_pages(
     parts = partitions or spark.sparkContext.defaultParallelism * 2
     rng = spark.range(base_index, base_index + n, 1, parts)
     return rng.mapInPandas(gen_pages_mapper, schema=PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Full crawlable site (listings + pagination + details) at scale
+# ---------------------------------------------------------------------------
+
+def listing_page(
+    p: int, n_items: int, per: int = 16
+) -> tuple[str, bytes, str]:
+    """Listing page ``p`` of the scale site — pure function of (p, n).
+
+    Byte-compatible with the Fixture's fasel listing markup (same card
+    divs ``_x_fasel_listing`` scans, same ``»``-anchor pagination
+    ``_last_page_fasel`` parses), so the crawl engine discovers detail
+    links and the pagination extent exactly as on the golden fixture."""
+    last = max((n_items + per - 1) // per, 1)
+    h = H()
+    h.leaf("h3", f"Page {p}")
+    lo = (p - 1) * per
+    for i in range(lo, min(lo + per, n_items)):
+        item_id = str(7000 + i)
+        title_raw = raw_title("F", i)
+        detail = f"https://{_HOST}/movies/{item_id}-{_slug(title_raw, i)}"
+        h.open("div", class_="col-xl-2 col-lg-2 col-md-3 col-sm-3")
+        h.open("a", href=detail)
+        h.leaf("div", title_raw, class_="h1")
+        h.close("a")
+        h.leaf("img", None, data_src=fasel_image(i, item_id))
+        h.close("div")
+    h.open("ul", class_="pag")
+    h.leaf("li", "1", class_="page-item")
+    h.leaf("li", str(last), class_="page-item")
+    h.close("ul")
+    h.leaf("a", "»", href=f"https://{_HOST}/movies/page/{last}")
+    markup, text = h.page()
+    return f"https://{_HOST}/movies/page/{p}", markup.encode("utf-8"), text
+
+
+def _listing_mapper(n_items: int, per: int):
+    def mapper(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf["id"]:
+                url, html, text = listing_page(int(p), n_items, per)
+                rows.append(
+                    {
+                        "url": url,
+                        "warc_ts": pd.Timestamp(EPOCH)
+                        + pd.Timedelta(seconds=int(p) % 86400),
+                        "html": html,
+                        "text": text,
+                        "lang": "en",
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"]
+            )
+
+    return mapper
+
+
+def gen_site_pages(
+    spark: SparkSession,
+    n_items: int,
+    per: int = 16,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Crawlable single-host site at arbitrary scale: the root listing +
+    all listing pages + all detail pages, generated distributed.
+
+    Feeding this to ``plans.crawl.run_crawl`` with the matching seed row
+    (:func:`site_seed_rows`) exercises the FULL engine — pagination-extent
+    discovery, frontier waves, bloom dedup, salted single-mega-host
+    politeness — at real wave sizes (one listing wave of n/per pages, one
+    detail wave of n pages), unlike the golden fixture's ~330-page web.
+    """
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+    details = gen_pages(spark, n_items, parts)
+    last = max((n_items + per - 1) // per, 1)
+    listings = spark.range(1, last + 1, 1, max(parts // per, 1)).mapInPandas(
+        _listing_mapper(n_items, per), schema=PAGES_SCHEMA
+    )
+    _root_url, root_html, root_text = listing_page(1, n_items, per)
+    root = spark.createDataFrame(
+        [(
+            f"https://{_HOST}/movies",
+            pd.Timestamp(EPOCH).to_pydatetime(),
+            root_html,
+            root_text,
+            "en",
+        )],
+        PAGES_SCHEMA,
+    )
+    return details.unionByName(listings).unionByName(root)
+
+
+def site_seed_rows() -> list[dict]:
+    """Seed + robots rows matching :func:`gen_site_pages`."""
+    return [
+        {
+            "url": f"https://{_HOST}/movies",
+            "site": "fasel",
+            "category": "movies",
+            "priority": 0,
+            "depth": 0,
+            "role": "listing",
+            "url_template": f"https://{_HOST}/movies/page/{{p}}",
+        }
+    ]
