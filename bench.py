@@ -189,7 +189,7 @@ def main() -> None:
         print(json.dumps({"sec": secs}))
         return
 
-    if "--crawl-scale" in sys.argv:
+    if "--crawl-scale" in sys.argv or "--crawl-scale-bucketed" in sys.argv:
         # Full engine (frontier waves, pagination discovery, robots, bloom
         # dedup, salted politeness, extraction, checkpointing) over the
         # generated crawlable site at N_PAGES detail items — the north
@@ -203,7 +203,26 @@ def main() -> None:
             site_seed_rows,
         )
 
-        spark = _spark(CPUS)
+        bucketed = "--crawl-scale-bucketed" in sys.argv
+        n_buckets = 64
+        # warehouse outside the repo: saveAsTable (bucketed mode) writes
+        # table data under spark.sql.warehouse.dir
+        os.environ.setdefault(
+            "SPARK_GRAFT_WAREHOUSE",
+            os.path.join(tempfile.gettempdir(), "nfs_bench_warehouse"),
+        )
+        from no_fasel_scrapers_spark.session import get_spark
+
+        spark = get_spark(
+            app_name=f"bench-crawl-local{CPUS}",
+            master=f"local[{CPUS}]",
+            extra_conf={
+                "spark.sql.shuffle.partitions": str(max(CPUS, 8)),
+                "spark.driver.memory": f"{max(CPUS, 8)}g",
+                "spark.sql.warehouse.dir":
+                    os.environ["SPARK_GRAFT_WAREHOUSE"],
+            },
+        )
         site_path = os.path.join(
             tempfile.gettempdir(), f"nfs_bench_site_{N_PAGES}"
         )
@@ -211,7 +230,27 @@ def main() -> None:
             gen_site_pages(spark, N_PAGES, partitions=256).write.mode(
                 "overwrite"
             ).parquet(site_path)
-        pages = spark.read.parquet(site_path)
+        ingest_sec = None
+        if bucketed:
+            # The 100 TB ingest pattern: land the corpus BUCKETED by
+            # url_hash once, and every crawl/recrawl's fetch join reads
+            # co-located buckets — the HTML side never shuffles again.
+            # The bucketed write's shuffle is paid here, at ingest, and
+            # reported separately.
+            table = f"nfs_site_bucketed_{N_PAGES}"
+            t0 = time.time()
+            (
+                spark.read.parquet(site_path)
+                .withColumn("url_hash", F.xxhash64("url"))
+                .write.mode("overwrite")
+                .bucketBy(n_buckets, "url_hash")
+                .sortBy("url_hash")
+                .saveAsTable(table)
+            )
+            ingest_sec = round(time.time() - t0, 2)
+            pages = spark.table(table)
+        else:
+            pages = spark.read.parquet(site_path)
         seeds = spark.createDataFrame(
             [tuple(s.values()) for s in site_seed_rows()],
             "url string, site string, category string, priority int, "
@@ -234,7 +273,7 @@ def main() -> None:
             wall = time.time() - t0
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-        print(json.dumps({
+        out = {
             "metric": "crawl_pages_per_sec",
             "value": round(n_extracted / wall, 1),
             "unit": "pages/sec",
@@ -242,7 +281,11 @@ def main() -> None:
             "waves": res.waves,
             "sec": round(wall, 2),
             "cpus": CPUS,
-        }))
+        }
+        if bucketed:
+            out["bucketed"] = n_buckets
+            out["ingest_sec"] = ingest_sec
+        print(json.dumps(out))
         return
 
     if "--scaling" in sys.argv:

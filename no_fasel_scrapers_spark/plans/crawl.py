@@ -120,6 +120,20 @@ class CrawlResult:
 
 
 def _prep_pages(pages: DataFrame) -> DataFrame:
+    """Slim fetch-side projection keyed by url_hash.
+
+    If the pages table already carries ``url_hash`` (contract: it MUST be
+    ``xxhash64(url)``), reuse it instead of recomputing — critically, this
+    keeps a url_hash-BUCKETED corpus table's output partitioning intact,
+    so the per-wave fetch join reads co-located buckets and the HTML side
+    never shuffles at all (the 100 TB ingest pattern: pay one bucketed
+    write at ingest, amortize it over every crawl/recrawl).  Computing
+    ``xxhash64(url)`` fresh would be a new expression Catalyst can't
+    relate to the bucket spec."""
+    if "url_hash" in pages.columns:
+        return pages.select(
+            F.col("url").alias("p_url"), "url_hash", "html"
+        )
     return pages.select(
         F.col("url").alias("p_url"),
         F.xxhash64(F.col("url")).alias("url_hash"),

@@ -78,3 +78,45 @@ def test_site_crawl_extracted_text_matches_generator(spark):
     for i in (0, 7, N_ITEMS - 1):
         url, _html, text = detail_page(i)
         assert got[url] == text  # byte-identical extracted text per url
+
+
+def test_bucketed_corpus_fetch_join_has_no_html_exchange(spark, tmp_path):
+    """The 100 TB ingest pattern: a url_hash-bucketed corpus makes the
+    fetch join co-located — the HTML side reads buckets with NO Exchange;
+    only the slim wave side shuffles (bench.py --crawl-scale-bucketed)."""
+    from pyspark.sql import functions as F
+
+    from no_fasel_scrapers_spark.plans.crawl import _prep_pages
+    from no_fasel_scrapers_spark.sources.pagegen import gen_site_pages
+
+    # external table path → the (static) warehouse dir is never used
+    (
+        gen_site_pages(spark, 300, partitions=4)
+        .withColumn("url_hash", F.xxhash64("url"))
+        .write.mode("overwrite")
+        .bucketBy(16, "url_hash")
+        .option("path", str(tmp_path / "tbl"))
+        .saveAsTable("t_fetch_bucketed")
+    )
+    try:
+        pages_k = _prep_pages(spark.table("t_fetch_bucketed"))
+        sched = spark.range(100).select(
+            F.col("id").alias("url_hash"), F.lit("u").alias("url")
+        )
+        pages_wave = pages_k.join(
+            F.broadcast(sched.select("url_hash")), "url_hash", "left_semi"
+        )
+        j = sched.join(pages_wave.hint("SHUFFLE_HASH"), "url_hash", "left")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        # exactly one hash exchange, and it is the slim side (no html col)
+        import re
+
+        exchanges = [
+            ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+        ]
+        assert len(exchanges) == 1
+        scan_line = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+        assert "html" in scan_line  # html flows ONLY through the bucketed scan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_fetch_bucketed")
