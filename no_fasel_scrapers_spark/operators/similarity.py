@@ -78,11 +78,24 @@ def ivf_topk(
     vec_col: str = "embedding",
     q_id_col: str = "query_id",
     q_vec_col: str = "query_vec",
+    probe_depth: int = 1,
 ) -> DataFrame:
-    """ANN top-k: probe the query's cell + all 1-bit-flip neighbor cells.
+    """ANN top-k: probe every cell within Hamming distance ``probe_depth``
+    of the query's cell (classic multi-probe LSH).
 
     corpus is bucketed once (reusable across query batches); per query the
-    scan touches (n_planes+1)/2^n_planes of the corpus in expectation."""
+    scan touches sum(C(n_planes, d) for d<=depth)/2^n_planes of the corpus
+    in expectation — ``probe_depth`` is the recall/scan-fraction dial (the
+    ``ivf_recall`` driver query measures the curve against brute force)."""
+    import itertools
+
+    masks = [0]
+    for d in range(1, probe_depth + 1):
+        for bits in itertools.combinations(range(n_planes), d):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
     bucketed = corpus.withColumn("cell", cell_id(F.col(vec_col), n_planes))
     qcell = queries.withColumn("qcell", cell_id(F.col(q_vec_col), n_planes))
     probes = qcell.select(
@@ -90,11 +103,7 @@ def ivf_topk(
         q_vec_col,
         F.explode(
             F.array(
-                F.col("qcell"),
-                *[
-                    F.col("qcell").bitwiseXOR(F.lit(1 << p))
-                    for p in range(n_planes)
-                ],
+                *[F.col("qcell").bitwiseXOR(F.lit(m)) for m in masks]
             )
         ).alias("cell"),
     )
