@@ -1401,6 +1401,20 @@ def q_warc_roundtrip(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver records the first 50 registry rows
+    (round 2's 53-entry registry dropped its tail off the record), so the
+    registry is pinned to the cap with every oracle-checked query inside
+    it and the single rows-only query (``crawl_e2e``) last.  Three round-2
+    entries were retired as redundant (their operators stay oracle-pinned
+    via ``retired_queries()`` + tests/test_retired_queries.py):
+
+    - ``cosine_pairs_exact`` — subsumed by ``embedding_near_dup_recall``'s
+      exact-cosine truth side;
+    - ``events_hourly`` — byte-identical semantics to the oracle-checked
+      ``events_hourly_stream`` (availableNow drains to the batch answer);
+    - ``ngram_jaccard`` — the jaccard-verify stage runs inside the
+      oracle-checked ``minhash_dedup`` and ``near_dup_groups``.
+    """
     return {
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
@@ -1431,16 +1445,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "robots_parse": q_robots_parse,
         "sitemap_parse": q_sitemap_parse,
+        "warc_roundtrip": q_warc_roundtrip,
+        "media_metadata": q_media_metadata,
+        "media_features": q_media_features,
         "training_prep": q_training_prep,
         "chunk_documents": q_chunk_documents,
         "exact_dedup": q_exact_dedup,
         "text_stats": q_text_stats,
-        "ngram_jaccard": q_ngram_jaccard,
-        "events_hourly": q_events_hourly,
         "events_hourly_stream": q_events_hourly_stream,
-        "media_metadata": q_media_metadata,
         "ann_bruteforce": q_ann_bruteforce,
-        "cosine_pairs_exact": q_cosine_pairs_exact,
         "minhash_dedup": q_minhash_dedup,
         "near_dup_groups": q_near_dup_groups,
         "decontaminate": q_decontaminate,
@@ -1452,9 +1465,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
         "embedding_near_dup_recall": q_embedding_near_dup_recall,
         "doc_fingerprints": q_doc_fingerprints,
-        "media_features": q_media_features,
         "crawl_e2e": q_crawl_e2e,
-        "warc_roundtrip": q_warc_roundtrip,
+    }
+
+
+def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Round-2 registry entries retired to fit the driver's 50-row record.
+
+    Each is still a working query with a DuckDB oracle
+    (``retired_oracle_sql()``); tests/test_retired_queries.py keeps the
+    full value-level comparison green so no correctness signal was lost
+    by trimming the driver-visible registry."""
+    return {
+        "ngram_jaccard": q_ngram_jaccard,
+        "events_hourly": q_events_hourly,
+        "cosine_pairs_exact": q_cosine_pairs_exact,
     }
 
 
@@ -1488,12 +1513,16 @@ def _analytic_oracles() -> dict[str, str]:
     """VALUES oracles for the xxhash-seeded queries (oracle/analytic.py).
 
     Computed at call time from the driver's correctness-scale parquet
-    (sf0.01 unless SPARK_GRAFT_ORACLE_SF_DIR overrides).  A failure to
-    build any one of them (e.g. parquet missing in an exotic environment)
-    degrades that query to rows-only instead of failing the whole gate."""
+    (sf0.01 unless SPARK_GRAFT_ORACLE_SF_DIR overrides).  A builder
+    failure RAISES — silently degrading to rows-only would let an
+    environment regression (missing duckdb/numpy, moved testdata) report
+    a green gate with no oracles behind it (ADVICE r2).  Set
+    SPARK_GRAFT_ALLOW_ORACLE_DEGRADE=1 to opt into the old degrade-to-
+    rows-only behavior (each degraded query is still printed loudly)."""
     from no_fasel_scrapers_spark.oracle import analytic as ao
 
     out: dict[str, str] = {}
+    failed: list[tuple[str, BaseException]] = []
     builders = {
         "minhash_dedup": ao.minhash_dedup_sql,
         "near_dup_groups": ao.near_dup_groups_sql,
@@ -1510,10 +1539,21 @@ def _analytic_oracles() -> dict[str, str]:
     for name, build in builders.items():
         try:
             out[name] = build()
-        except Exception as ex:  # degrade to rows-only, don't kill the gate
-            import sys
+        except Exception as ex:
+            failed.append((name, ex))
+    if failed:
+        import os
+        import sys
 
+        for name, ex in failed:
             print(f"analytic oracle {name} failed: {ex!r}", file=sys.stderr)
+        if os.environ.get("SPARK_GRAFT_ALLOW_ORACLE_DEGRADE") != "1":
+            raise RuntimeError(
+                f"{len(failed)}/{len(builders)} analytic oracle builders "
+                f"failed ({[n for n, _ in failed]}); refusing to silently "
+                "degrade the correctness gate to rows-only. Set "
+                "SPARK_GRAFT_ALLOW_ORACLE_DEGRADE=1 to opt in."
+            ) from failed[0][1]
     return out
 
 
@@ -1992,33 +2032,6 @@ def oracle_sql() -> dict[str, str]:
                          + least(stop * 5.0, 1.0) * 0.3, 9) AS quality_r
             FROM t
         """,
-        "ngram_jaccard": """
-            WITH g AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                           generate_series(1, greatest(
-                               len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 1)),
-                           i -> array_to_string(
-                               (string_split_regex(trim(lower(text)), '\\s+'))[i:i+2], ' ')
-                       )) AS grams
-                FROM documents
-            )
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   round(
-                       CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0
-                            THEN 1.0
-                            ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                                 / len(list_distinct(list_concat(a.grams, b.grams)))
-                       END, 6) AS jaccard_r
-            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
-        """,
-        "events_hourly": """
-            SELECT event_type,
-                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
-                   CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-            FROM events GROUP BY event_type, date_trunc('hour', ts)
-        """,
         # The streaming path must converge to the identical batch answer
         # (availableNow drains everything; complete mode emits all windows)
         "events_hourly_stream": """
@@ -2055,6 +2068,40 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rn
                 FROM s
             ) WHERE rn <= 10
+        """,
+    }
+
+
+def retired_oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for ``retired_queries()`` — kept green by
+    tests/test_retired_queries.py (same compare as the driver's gate)."""
+    return {
+        "ngram_jaccard": """
+            WITH g AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           generate_series(1, greatest(
+                               len(string_split_regex(trim(lower(text)), '\\s+')) - 2, 1)),
+                           i -> array_to_string(
+                               (string_split_regex(trim(lower(text)), '\\s+'))[i:i+2], ' ')
+                       )) AS grams
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(
+                       CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) = 0
+                            THEN 1.0
+                            ELSE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                                 / len(list_distinct(list_concat(a.grams, b.grams)))
+                       END, 6) AS jaccard_r
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+        """,
+        "events_hourly": """
+            SELECT event_type,
+                   strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
         "cosine_pairs_exact": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -183,6 +183,59 @@ def gen_site_pages(
     return details.unionByName(listings).unionByName(root)
 
 
+# ---------------------------------------------------------------------------
+# Training-corpus generator (documents table at arbitrary scale)
+# ---------------------------------------------------------------------------
+
+def gen_docs(
+    spark: SparkSession,
+    n: int,
+    partitions: int | None = None,
+    words_per_doc: int = 60,
+    vocab: int = 50_000,
+    dup_every: int = 17,
+) -> DataFrame:
+    """Deterministic documents table of ``n`` rows for the corpus-op bench
+    (minhash_dedup / decontaminate / text_stats at ≥1M docs).
+
+    Pure JVM columns (``sequence`` + ``transform`` + ``xxhash64`` — no
+    Python mapper), so a timed operator run over this table measures the
+    operator, not the generator.  Every ``dup_every``-th doc re-seeds its
+    word sequence from the previous id and differs only in the final tail
+    token — a planted near-dup pair (word-3-gram Jaccard ≈ 0.93 at 60
+    words) that exact dedup must NOT collapse and MinHash+LSH must."""
+    from pyspark.sql import functions as F
+
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+    base = spark.range(0, n, 1, parts)
+    seed_id = (
+        F.when(
+            (F.col("id") % dup_every == 0) & (F.col("id") > 0),
+            F.col("id") - 1,
+        )
+        .otherwise(F.col("id"))
+    )
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(words_per_doc - 1)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.xxhash64(F.lit(42), seed_id, i), F.lit(vocab)).cast(
+                "string"
+            ),
+        ),
+    )
+    return base.select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.array_join(words, " "), F.lit(" t"), F.col("id").cast("string")
+        ).alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("ar"), F.lit("zh")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
 def site_seed_rows() -> list[dict]:
     """Seed + robots rows matching :func:`gen_site_pages`."""
     return [

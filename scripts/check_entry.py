@@ -57,6 +57,7 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    rows_only = []
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -69,6 +70,7 @@ def main() -> int:
             continue
         dt = time.time() - t0
         if name not in oracles:
+            rows_only.append(name)
             print(f"ok   {name}: rows-only, {len(sdf)} rows ({dt:.1f}s)")
             continue
         odf = con.execute(oracles[name]).df()
@@ -108,6 +110,11 @@ def main() -> int:
         print(f"ok   entry(): {len(edf)} rows ({time.time()-t0:.1f}s)")
         print(edf.head(10).to_string())
 
+    # rows-only means NO value-level oracle ran for that query — surface it
+    # so an oracle-degrade regression can't hide behind a green exit code
+    # (only crawl_e2e is rows-only by design)
+    if rows_only:
+        print(f"\nrows-only (no oracle ran): {rows_only}")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     return 1 if failures else 0
 
