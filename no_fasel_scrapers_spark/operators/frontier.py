@@ -138,34 +138,60 @@ def expand_pagination_df(
     BEFORE expansion: every listing page of a category re-declares the
     same pagination extent, so a wave of L listing pages would otherwise
     explode L × last_page rows (measured: a 10^6-page site's listing wave
-    expanded 3.9 BILLION rows that dedup then discarded).  Union of the
-    ranges = 1..max(last_page); min(from_url) is the lexicographically
-    first discoverer — the same row ``dedup_within`` would keep, so the
-    collapsed expansion is survivor-identical to the naive one.
+    expanded 3.9 BILLION rows that dedup then discarded).  The collapse
+    is survivor-identical to naive-expand + ``dedup_within`` INCLUDING
+    provenance: page ``p``'s ``from_url`` is the min over probes whose
+    extent covers ``p`` (probes group per declared ``last_page``, then
+    each band between consecutive extents expands once with the running
+    min ``from_url`` of the extents covering it), so when probes disagree
+    on the extent — the corrupt-page case — pages beyond a smaller
+    probe's range are never attributed to it.  Extents per group are
+    few (they agree except for corruption), so the band window is tiny;
+    expanded row count stays exactly ``max(last_page)`` per group.
+    NULL ``from_url`` probes are ignored by the min (probes always carry
+    the url that declared them).
     """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(
+        "site", "category", "url_template", "depth", "priority"
+    ).orderBy(F.col("last_page").desc())
     ex = (
         probes.filter(
             F.col("last_page").isNotNull()
             & (F.col("last_page") >= 1)
             & F.col("url_template").isNotNull()
         )
-        .groupBy("site", "category", "url_template", "depth", "priority")
-        .agg(
-            F.max("last_page").alias("last_page"),
-            F.min("from_url").alias("from_url"),
+        # one row per distinct declared extent
+        .groupBy(
+            "site", "category", "url_template", "depth", "priority",
+            "last_page",
         )
+        .agg(F.min("from_url").alias("from_url"))
+        # band (next_smaller_extent, this_extent] is covered by this and
+        # all larger extents → running min of from_url in desc order
+        .select(
+            "site", "category", "url_template", "depth", "priority",
+            F.min("from_url")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("from_url"),
+            # wide types until after the clamp: casting a corrupt long to
+            # int can wrap negative and defeat the guard
+            (F.lead(F.col("last_page").cast("long"), 1, 0).over(w) + 1)
+            .alias("band_start"),
+            F.least(
+                F.col("last_page").cast("long"),
+                F.lit(max_pages).cast("long"),
+            ).alias("band_stop"),
+        )
+        .filter(F.col("band_start") <= F.col("band_stop"))
         .select(
             "site", "category", "url_template", "depth", "priority",
             "from_url",
             F.explode(
                 F.sequence(
-                    F.lit(1),
-                    # clamp on the WIDE type first: casting a corrupt long
-                    # to int can wrap negative and defeat the guard
-                    F.least(
-                        F.col("last_page").cast("long"),
-                        F.lit(max_pages).cast("long"),
-                    ).cast("int"),
+                    F.col("band_start").cast("int"),
+                    F.col("band_stop").cast("int"),
                 )
             ).alias("page"),
         )

@@ -95,14 +95,32 @@ def anime_episode_delta(
     Inputs:
       prior:            (series_id, old_count, old_eps_json) — the stored
                         records; old_eps_json in ANIME_EPS_SCHEMA shape
-      current_entries:  (series_id, eid, num, src) — this crawl's episode
-                        rows, num = the anchor-text episode number that
-                        also defines the slice position
+      current_entries:  (series_id, eid, num, src[, pos]) — this crawl's
+                        episode rows; ``pos`` = 1-based position in the
+                        anchor list.  The slice is POSITIONAL — the
+                        reference splits ``episodes_sources[old_count:]``
+                        by list position (``scrape_episodes(current,
+                        episodes, start=old)``, FaselAnimeScraper.py:60-67)
+                        — so callers whose anchor numbering can be
+                        non-sequential must pass ``pos``; without it the
+                        anchor-text ``num`` is used (equivalent only for
+                        sequential 1..N anchors).  Rows whose episode page
+                        failed to scrape carry NULL ``eid``/``src``: they
+                        count toward the anchor total (``cur_count``, line
+                        108's ``len(anime_episodes_list)``) but never land
+                        in the merged map nor in ``n_new`` —
+                        ``get_iframe_source`` skips them (lines 42/49) and
+                        ``+= len(new_episodes)`` (line 121) counts only
+                        landed entries.
     Output: one row per merged episode
       (series_id, eid, num, src, old_count, episodes_total, n_new)
-    with episodes_total = old_count + n_new (the reference's ``+= len(new
-    episodes)``), computed entirely as joins + one groupBy — no driver
-    loops, so a 10^7-series catalog merges in one shuffle."""
+    with episodes_total = old_count + n_new where n_new = distinct landed
+    episode ids in the slice (the reference accumulates into a dict keyed
+    by episode id — duplicates collapse, last list position wins — and
+    ``Episodes.update(new_episodes)`` lets a re-scraped id replace the
+    stored entry while the count still grows by ``len(new_episodes)``).
+    Computed entirely as joins + groupBys — no driver loops, so a 10^7-
+    series catalog merges in a bounded number of shuffles."""
     pr = prior.select(
         F.col(key),
         F.col("old_count"),
@@ -130,20 +148,39 @@ def anime_episode_delta(
         F.col("eid").isNotNull()
     )
 
-    # changed/new series: old episodes + the slice past old_count
+    # changed/new series: old episodes + the positional slice past
+    # old_count, landed (non-NULL eid+src) rows only
     changed = state.filter(F.col("cur_count") != F.col("old_count"))
     old_part = pr.join(changed.select(key), key, "left_semi").filter(
         F.col("eid").isNotNull()
     )
-    new_part = (
+    pos = F.col("pos" if "pos" in current_entries.columns else "num")
+    landed = (
         current_entries.join(F.broadcast(changed), key, "inner")
-        .filter(F.col("num") > F.col("old_count"))
+        .filter(
+            (pos > F.col("old_count"))
+            & F.col("eid").isNotNull()
+            & F.col("src").isNotNull()
+        )
+    )
+    # dict semantics: one entry per episode id, last list position wins
+    w_eid = Window.partitionBy(key, "eid").orderBy(
+        pos.desc(), F.col("src").asc()
+    )
+    new_part = (
+        landed.withColumn("__rn", F.row_number().over(w_eid))
+        .filter(F.col("__rn") == 1)
         .select(key, "eid", "num", "src")
     )
-    merged = old_part.select(key, "eid", "num", "src").unionByName(new_part)
+    # Episodes.update(new_episodes): a re-scraped id replaces the stored one
+    merged = (
+        old_part.select(key, "eid", "num", "src")
+        .join(new_part.select(key, "eid"), [key, "eid"], "left_anti")
+        .unionByName(new_part)
+    )
 
-    n_new = new_part.groupBy(key).agg(
-        F.count("*").cast("int").alias("n_new")
+    n_new = landed.groupBy(key).agg(
+        F.count_distinct("eid").cast("int").alias("n_new")
     )
     totals = (
         state.join(n_new, key, "left")

@@ -63,7 +63,18 @@ def requests_fetcher(cfg: UploadConfig) -> Fetcher:
         ) from e
 
     def _get(url: str) -> bytes:
-        return requests.get(url, timeout=cfg.timeout_s).content
+        # HTTP errors must surface as exceptions so the retry budget /
+        # dead-letter path triggers — a 404 body is not image bytes, and
+        # caching it would poison the image cache for every later run.
+        resp = requests.get(url, timeout=cfg.timeout_s)
+        resp.raise_for_status()
+        ctype = resp.headers.get("Content-Type", "")
+        if ctype and not (
+            ctype.startswith("image/")
+            or ctype.startswith("application/octet-stream")
+        ):
+            raise ValueError(f"non-image Content-Type {ctype!r} for {url}")
+        return resp.content
 
     return _get
 
