@@ -1250,29 +1250,53 @@ def q_doc_fingerprints(spark, sf_dir):
 
 def q_media_features(spark, sf_dir):
     """Multimodal feature extraction: binary → fixed-length array<float>
-    (byte-histogram stand-in for a real embedding; numpy per Arrow batch)."""
+    (pixel-histogram stand-in for a real embedding; numpy per Arrow batch).
+
+    Every 5th doc carries a REAL PNG payload (stdlib encoder, gray /
+    gray+alpha / RGB by doc_id) — the feature path runs the real inflate +
+    unfilter decode for those rows, and the oracle's arithmetic pixel twin
+    only matches if the PNG roundtrip is bit-exact.  Remaining rows use
+    the fake codec."""
+    import numpy as np
     import pandas as pd
 
     from no_fasel_scrapers_spark.operators.multimodal import (
         extract_features,
         fake_encode,
+        png_encode,
+        with_media_metadata,
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
 
+    def _payload(i: int) -> bytes:
+        w, h = 16 + i % 16, 8 + i % 8
+        seed = i % 251
+        if i % 5 == 0:
+            c = 1 + i % 3
+            n = w * h * c
+            rng = (
+                np.arange(n, dtype=np.uint32) * np.uint32(2654435761)
+                + np.uint32(seed)
+            )
+            body = (rng >> 24).astype(np.uint8).reshape(h, w, c)
+            return png_encode(body)
+        return fake_encode(w, h, 1, seed)
+
     def _gen(batches):
         for pdf in batches:
             out = pd.DataFrame({"doc_id": pdf["doc_id"]})
-            out["payload"] = [
-                fake_encode(16 + int(i) % 16, 8 + int(i) % 8, 1, int(i) % 251)
-                for i in pdf["doc_id"]
-            ]
+            out["payload"] = [_payload(int(i)) for i in pdf["doc_id"]]
             yield out
 
     media = d.mapInPandas(_gen, schema="doc_id long, payload binary")
-    out = extract_features(media)
+    out = extract_features(with_media_metadata(media))
     return out.select(
         "doc_id",
+        "codec",
+        "width",
+        "height",
+        "channels",
         F.size("features").alias("n_bins"),
         F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
     )

@@ -79,6 +79,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """``(src, dst)`` undirected edges → ``(id, component)`` labels.
 
@@ -91,6 +92,14 @@ def connected_components(
     node id; the only driver action is a one-row convergence checksum.
     Converges in O(log n) rounds (alternating-star bound), and dedup
     graphs (small diameter) typically finish in 3-5.
+
+    ``checkpoint_dir``: directory for RELIABLE per-round checkpoints
+    (HDFS/S3 path on a cluster).  Without it rounds truncate lineage via
+    ``localCheckpoint`` — fast, but a lost executor loses its cached
+    blocks and the job fails (local-mode/test default).  With it each
+    round materializes to the reliable store, so executor loss recomputes
+    from the last round, not from scratch; round count is O(log n), so
+    retained snapshots stay bounded.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -98,16 +107,21 @@ def connected_components(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
+    if checkpoint_dir is not None:
+        e.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     prev_chk = None
     for _ in range(max_iter):
-        # localCheckpoint truncates the logical plan each round — without
+        # Checkpointing truncates the logical plan each round — without
         # it the nested union/window/distinct lineage doubles per round
         # and Catalyst plan compilation OOMs after ~8 rounds (hit on a
         # 200-node chain).  Eager → the round materializes here, so the
-        # checksum below reads the cache.  On a real cluster prefer a
-        # reliable checkpoint dir for executor-loss tolerance; the round
-        # count is O(log n), so retained round snapshots stay bounded.
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # checksum below reads the cache/store.
+        stepped = _small_star(_large_star(e))
+        e = (
+            stepped.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else stepped.localCheckpoint(eager=True)
+        )
         row = e.agg(
             F.count("*").alias("n"),
             # bit_xor: order-independent set checksum that cannot
@@ -134,11 +148,15 @@ def near_dup_groups(
     id_col: str = "doc_id",
     pair_a: str = "id_a",
     pair_b: str = "id_b",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Docs + verified duplicate pairs → ``(id_col, group_id)`` for EVERY
     doc (singletons label themselves).  ``group_id`` = min doc id of the
-    duplicate cluster under the transitive closure of ``pairs``."""
-    comp = connected_components(pairs, pair_a, pair_b)
+    duplicate cluster under the transitive closure of ``pairs``.
+    ``checkpoint_dir`` → :func:`connected_components` (reliable per-round
+    checkpoints for executor-loss tolerance on a cluster)."""
+    comp = connected_components(pairs, pair_a, pair_b,
+                                checkpoint_dir=checkpoint_dir)
     return (
         docs.select(id_col)
         .join(comp.withColumnRenamed("id", id_col), id_col, "left")

@@ -2,12 +2,18 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested.  Actual codec work (JPEG decode, resampling,
-frame extraction) requires libs not present in this container — those steps
-are STUBBED behind ``_decode_image_real`` (raises NotImplementedError) with
-a deterministic fake-codec path used by tests: payloads produced by
-``fake_encode`` carry a parseable header, so decode/resize/feature-extract
-exercise the full distributed path with verifiable outputs.
+signatures) is real and tested.  Two codecs decode for real in-sandbox:
+
+- **PNG** — a stdlib-only (zlib + struct) decoder: chunk walk, IHDR parse,
+  IDAT inflate, full scanline unfiltering (filter types 0-4 incl. Paeth)
+  for 8-bit gray / gray+alpha / RGB / RGBA.  ``_decode_image_real`` returns
+  the pixel array; ``png_encode`` writes spec-compliant files for fixtures.
+- the deterministic **fake codec** (``fake_encode``) used where a real
+  format would add nothing to the plumbing under test.
+
+JPEG/audio/video decode requires libs not present in this container and
+stays stubbed behind ``_decode_image_real`` (PIL import → clear
+``NotImplementedError``).
 
 Batch shape: ``mapInPandas`` with binary columns yields ``bytes`` objects
 per cell; numpy does the per-batch work.  Partitioning: media tables should
@@ -18,6 +24,7 @@ payload; the metadata struct lets planners prune without touching bytes.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Iterable, Iterator
 
 import numpy as np
@@ -26,8 +33,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAGIC = b"NFSI"  # fake-codec magic: NFSI | u16 w | u16 h | u8 channels | raw
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 META_SCHEMA = "width int, height int, channels int, n_bytes long, codec string"
+
+# PNG color type ↔ channel count (8-bit depth only)
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}   # gray, gray+A, RGB, RGBA
+_PNG_CHANNELS = {v: k for k, v in _PNG_COLOR_TYPE.items()}
 
 
 def fake_encode(width: int, height: int, channels: int, seed: int) -> bytes:
@@ -38,19 +50,148 @@ def fake_encode(width: int, height: int, channels: int, seed: int) -> bytes:
     return MAGIC + struct.pack("<HHB", width, height, channels) + body
 
 
-def _decode_image_real(payload: bytes):
-    """Real codec path — requires PIL/libjpeg, absent in this sandbox."""
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    body = tag + data
+    return struct.pack(">I", len(data)) + body + struct.pack(
+        ">I", zlib.crc32(body)
+    )
+
+
+def png_encode(arr: np.ndarray) -> bytes:
+    """uint8 array (H,W) or (H,W,C) → spec-compliant 8-bit PNG bytes.
+
+    Filter 0 on every scanline + one IDAT at zlib level 6 — deterministic,
+    so fixtures and their pure-Python oracle twin produce identical files.
+    """
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, c = a.shape
+    ctype = _PNG_COLOR_TYPE[c]
+    raw = b"".join(b"\x00" + a[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
+    pos = len(PNG_SIG)
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        tag = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        yield tag, data
+        pos += 12 + length  # len + tag + data + crc
+        if tag == b"IEND":
+            break
+
+
+def png_header(payload: bytes) -> dict | None:
+    """Parse IHDR → (width, height, channels) or None if not a PNG this
+    decoder supports (8-bit, non-interlaced, color types 0/2/4/6)."""
+    if payload is None or not payload.startswith(PNG_SIG):
+        return None
+    for tag, data in _png_chunks(payload):
+        if tag != b"IHDR" or len(data) != 13:
+            return None
+        w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", data
+        )
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            return None
+        if ctype not in _PNG_CHANNELS:
+            return None
+        return {"width": w, "height": h, "channels": _PNG_CHANNELS[ctype]}
+    return None
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_decode(payload: bytes) -> np.ndarray:
+    """PNG bytes → uint8 pixel array (H,W,C), stdlib-only.
+
+    Full unfiltering (types 0 None / 1 Sub / 2 Up / 3 Average / 4 Paeth);
+    the sequential filters run as per-scanline Python loops — fine for the
+    catalog-poster/fixture sizes this engine stores, and the distributed
+    cost model is unchanged (decode is per-row work inside an Arrow batch
+    either way).  Raises ValueError on non-PNG or unsupported variants.
+    """
+    hdr = png_header(payload)
+    if hdr is None:
+        raise ValueError("not a supported PNG (8-bit non-interlaced)")
+    w, h, c = hdr["width"], hdr["height"], hdr["channels"]
+    idat = b"".join(d for t, d in _png_chunks(payload) if t == b"IDAT")
+    raw = zlib.decompress(idat)
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).copy()
+        if ftype == 0:
+            cur = line
+        elif ftype == 1:  # Sub: per-channel-offset cumulative sum
+            cur = line.astype(np.uint32)
+            for off in range(c):
+                cur[off::c] = np.cumsum(cur[off::c]) & 0xFF
+            cur = cur.astype(np.uint8)
+        elif ftype == 2:  # Up
+            cur = line + prev
+        elif ftype == 3:  # Average
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - c]) if i >= c else 0
+                cur[i] = (int(line[i]) + (a + int(prev[i])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                a = int(cur[i - c]) if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                cur[i] = (int(line[i]) + _paeth(a, b, cc)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(h, w, c)
+
+
+def _decode_image_real(payload: bytes) -> np.ndarray:
+    """Real codec path: stdlib PNG decode in-sandbox; other formats need
+    PIL/libjpeg (absent in this container → NotImplementedError)."""
+    if payload is not None and payload.startswith(PNG_SIG):
+        return png_decode(payload)
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "real image decode needs PIL/libjpeg; use the fake-codec path "
-            "(fake_encode) in this environment"
+            "non-PNG image decode needs PIL/libjpeg; PNG decodes via the "
+            "stdlib path, other formats use the fake codec (fake_encode) "
+            "in this environment"
         ) from e
     raise NotImplementedError("real decode wiring lands with the codec libs")
 
 
 def decode_header(payload: bytes) -> dict:
+    png = png_header(payload) if payload is not None else None
+    if png is not None:
+        return {**png, "n_bytes": len(payload), "codec": "png"}
     if payload is None or len(payload) < 9 or payload[:4] != MAGIC:
         return {"width": None, "height": None, "channels": None,
                 "n_bytes": None if payload is None else len(payload),
@@ -58,6 +199,20 @@ def decode_header(payload: bytes) -> dict:
     w, h, c = struct.unpack("<HHB", payload[4:9])
     return {"width": w, "height": h, "channels": c,
             "n_bytes": len(payload), "codec": "nfsi-fake"}
+
+
+def _pixel_bytes(payload: bytes) -> np.ndarray | None:
+    """Decoded pixel bytes for any supported codec, else None."""
+    if payload is None:
+        return None
+    if payload.startswith(PNG_SIG):
+        try:
+            return png_decode(payload).ravel()
+        except ValueError:
+            return None
+    if len(payload) > 9 and payload[:4] == MAGIC:
+        return np.frombuffer(payload, dtype=np.uint8, offset=9)
+    return None
 
 
 def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -81,10 +236,12 @@ def with_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFram
 def extract_features(
     df: DataFrame, payload_col: str = "payload", n_bins: int = 16
 ) -> DataFrame:
-    """Byte-histogram feature vector per payload (the fake 'embedding').
+    """Pixel-histogram feature vector per payload (the 'embedding' stand-in).
 
     Shape of a real feature extractor: binary in → fixed-length
-    array<float> out, numpy per batch."""
+    array<float> out, numpy per batch.  PNG payloads run the REAL stdlib
+    decode (so the histogram is over decoded pixels, exercising the full
+    inflate+unfilter path); fake-codec payloads read their raw body."""
     cols = df.columns
 
     def _run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -92,10 +249,10 @@ def extract_features(
             out = pdf[cols].copy()
             feats = []
             for p in pdf[payload_col]:
-                if p is None or len(p) <= 9 or p[:4] != MAGIC:
+                body = _pixel_bytes(p)
+                if body is None:
                     feats.append(None)
                     continue
-                body = np.frombuffer(p, dtype=np.uint8, offset=9)
                 hist, _ = np.histogram(body, bins=n_bins, range=(0, 256))
                 total = hist.sum() or 1
                 feats.append((hist / total).astype(np.float32).tolist())
@@ -111,8 +268,9 @@ def extract_features(
 def resize_stub(
     df: DataFrame, payload_col: str = "payload", width: int = 64, height: int = 64
 ) -> DataFrame:
-    """Resize on the fake codec: nearest-neighbor over the raw body —
-    demonstrates payload-rewriting UDF shape (binary in → binary out)."""
+    """Nearest-neighbor resize, payload-rewriting UDF shape (binary in →
+    binary out).  PNG in → PNG out (real decode + re-encode); fake codec
+    in → fake codec out; anything else → NULL."""
     cols = df.columns
 
     def _run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -121,17 +279,27 @@ def resize_stub(
             resized = []
             for p in pdf[payload_col]:
                 m = decode_header(p)
-                if m["codec"] != "nfsi-fake":
+                if m["codec"] == "png":
+                    body = png_decode(p)
+                elif m["codec"] == "nfsi-fake":
+                    body = np.frombuffer(p, dtype=np.uint8, offset=9).reshape(
+                        m["height"], m["width"], m["channels"]
+                    )
+                else:
                     resized.append(None)
                     continue
-                w, h, c = m["width"], m["height"], m["channels"]
-                body = np.frombuffer(p, dtype=np.uint8, offset=9).reshape(h, w, c)
+                h, w, c = body.shape
                 yi = (np.arange(height) * h // height)
                 xi = (np.arange(width) * w // width)
                 small = body[yi][:, xi]
-                resized.append(
-                    MAGIC + struct.pack("<HHB", width, height, c) + small.tobytes()
-                )
+                if m["codec"] == "png":
+                    resized.append(png_encode(small))
+                else:
+                    resized.append(
+                        MAGIC
+                        + struct.pack("<HHB", width, height, c)
+                        + small.tobytes()
+                    )
             out["resized"] = resized
             yield out
 

@@ -536,9 +536,15 @@ def doc_fingerprints_sql(sf: str | None = None) -> str:
 # ---------------------------------------------------------------------------
 
 def media_features_rows(sf: str, n_bins: int = 16):
+    """Mirror of q_media_features: every 5th doc is a REAL PNG payload
+    (channels 1 + doc_id % 3); the twin computes features from the
+    arithmetic PIXELS directly — the Spark side only matches if its
+    stdlib PNG encode→inflate→unfilter roundtrip is bit-exact."""
     out = []
     for doc_id, _text, _lang in _docs(sf):
-        w, h, c = 16 + doc_id % 16, 8 + doc_id % 8, 1
+        w, h = 16 + doc_id % 16, 8 + doc_id % 8
+        is_png = doc_id % 5 == 0
+        c = 1 + doc_id % 3 if is_png else 1
         seed = doc_id % 251
         n = w * h * c
         rng = (
@@ -549,7 +555,10 @@ def media_features_rows(sf: str, n_bins: int = 16):
         hist, _ = np.histogram(body, bins=n_bins, range=(0, 256))
         total = hist.sum() or 1
         f0 = float(np.float32(hist[0] / total))
-        out.append((doc_id, n_bins, _round_half_up(f0, 6)))
+        out.append((
+            doc_id, "png" if is_png else "nfsi-fake", w, h, c, n_bins,
+            _round_half_up(f0, 6),
+        ))
     return out
 
 
@@ -557,7 +566,9 @@ def media_features_sql(sf: str | None = None) -> str:
     rows = media_features_rows(sf or sf_dir())
     return values_sql(
         rows,
-        [("doc_id", "BIGINT"), ("n_bins", "INTEGER"), ("f0", "DOUBLE")],
+        [("doc_id", "BIGINT"), ("codec", "VARCHAR"), ("width", "INTEGER"),
+         ("height", "INTEGER"), ("channels", "INTEGER"),
+         ("n_bins", "INTEGER"), ("f0", "DOUBLE")],
     )
 
 

@@ -137,3 +137,54 @@ def test_long_chain_converges_logarithmically(spark):
     edges = [(i, i + 1) for i in range(199)]
     got = _cc(spark, edges)
     assert set(got.values()) == {0} and len(got) == 200
+
+
+def test_reliable_checkpoint_dir_chain(spark, tmp_path):
+    """checkpoint_dir switches localCheckpoint -> reliable checkpoint
+    (VERDICT r2 #5): the per-round state lands in the checkpoint store, so
+    an executor loss recomputes from the last round instead of failing.
+    Local-mode stand-in for the kill: drop every cached/in-memory block
+    after the run and recompute the result — with localCheckpoint the
+    lineage roots in executor-memory blocks; with a reliable dir it roots
+    in checkpoint FILES, which this asserts exist and still serve reads."""
+    import os
+
+    ckpt = str(tmp_path / "cc_ckpt")
+    edges = [(i, i + 1) for i in range(99)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = connected_components(df, checkpoint_dir=ckpt)
+    first = {r["id"]: r["component"] for r in out.collect()}
+    assert first == {i: 0 for i in range(100)}
+
+    # reliable checkpoint files were written (one dir per round)
+    written = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(ckpt)
+        for f in fs
+        if not f.startswith(".")
+    ]
+    assert written, "no reliable checkpoint files under checkpoint_dir"
+
+    # kill stand-in: evict all block-manager state, then recompute the
+    # SAME result DataFrame — it must re-serve from the checkpoint files
+    spark.catalog.clearCache()
+    for (_id, rdd) in spark.sparkContext._jsc.getPersistentRDDs().items():
+        rdd.unpersist()
+    again = {r["id"]: r["component"] for r in out.collect()}
+    assert again == first
+
+
+def test_near_dup_groups_threads_checkpoint_dir(spark, tmp_path):
+    import os
+
+    ckpt = str(tmp_path / "ndg_ckpt")
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in near_dup_groups(docs, pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4}
+    assert any(fs for _, _, fs in os.walk(ckpt))
