@@ -39,6 +39,7 @@ from .fixture import (
     o_clean_anime_title,
     o_clean_iframe,
     o_clean_title,
+    o_remove_arabic,
     _slug,
 )
 from ..functions.canonical_py import canonicalize_url
@@ -463,6 +464,188 @@ class RefRecordFixture:
         self._add_page(root, built)
         self._add_page(root + "&page=1", built)
         self._seed(root, "akwam", "arabic-movies", root + "&page={p}")
+        self.robots_hosts.add(host)
+
+    # -- wecima series (WeCima.json) ---------------------------------------
+    def add_wecima(self, records: dict[str, dict]) -> None:
+        """WeCima.json — the record shape with STRING season numbers
+        (``WeCimaScraper.py:37`` remove_arabic_chars of the anchor title)
+        and url-encoded Source slugs stripped from the hardcoded
+        ``https://wecima.tube/series/`` prefix (line 34-35)."""
+        host = WECIMA_HOST
+        cards = []
+        exp = self.expected.setdefault("wecima", [])
+        for key, rec in records.items():
+            title = rec["Title"]
+            season = rec.get("Season Number")
+            source = rec.get("Source", "")
+            image = rec.get("Image Source", "")
+            # raw anchor-title whose remove_arabic_chars yields the stored
+            # season string; raw strong text whose split('-')[0].strip()
+            # yields the stored title
+            raw_season = next(
+                (c for c in (f"موسم {season}", season, f" {season} ")
+                 if isinstance(season, str) and o_remove_arabic(c) == season),
+                None,
+            )
+            raw_strong = next(
+                (c for c in (f"{title} - 2023", title, f"  {title}  ")
+                 if c.split("-")[0].strip() == title),
+                None,
+            )
+            href = f"https://{host}/series/{source}"
+            img_style = f"--image:url({image});"
+            ok = (
+                raw_season is not None
+                and raw_strong is not None
+                and isinstance(source, str)
+                and source != ""
+                # the extractor's global replaces must round-trip exactly
+                and href.replace(f"https://{host}/series/", "") == source
+                and img_style.replace("--image:url(", "").replace(");", "")
+                == image
+            )
+            if not ok:
+                self._skip("wecima")
+                continue
+
+            def card(h: H, key=key, href=href, raw_season=raw_season,
+                     raw_strong=raw_strong, img_style=img_style):
+                h.open("div", class_="GridItem", cpd=key)
+                h.open("a", href=href, title=raw_season)
+                h.leaf("strong", raw_strong, class_="hasyear")
+                h.leaf("span", None, class_="BG--GridItem",
+                       data_lazy_style=img_style)
+                h.close("a")
+                h.close("div")
+            cards.append(card)
+
+            exp.append({
+                "item_id": key, "title": title, "image_source": image,
+                "source": source, "season_number": season,
+            })
+
+        h = H()
+        for c in cards:
+            c(h)
+        # ul.page-numbers, li[-2] = last page (WeCimaScraper.py:10-14)
+        h.open("ul", class_="page-numbers")
+        h.leaf("li", "1")
+        h.leaf("li", "1")
+        h.leaf("li", "next")
+        h.close("ul")
+        built = h.page()
+        root = f"https://{host}/download-series/"
+        self._add_page(root, built)
+        self._add_page(root + "?page_number=1/", built)
+        self._seed(root, "wecima", "wecima", root + "?page_number={p}/")
+        self.robots_hosts.add(host)
+
+    # -- cimanow movies (CimaNowMovies.json) -------------------------------
+    def add_cimanow_movies(self, records: dict[str, dict]) -> None:
+        """CimaNowMovies.json — the record shape with multi-quality
+        ``list[map]`` Sources (``Common.py:392-394``: ul#download anchors →
+        [{quality: href}]) and genre decode through CIMA_NOW_GENRES
+        (``CimaNowMovieScraper.py:52``).  The reference's item id is the
+        irreproducible ``str(hash(title))[1:7]`` (line 54) — the engine's
+        documented O25 replacement is ``md5(title)[:6]``, so expectations
+        key on title."""
+        from ..functions.decode_tables import CIMA_NOW_GENRES
+
+        host = CIMANOW_HOST
+        cards = []
+        exp = self.expected.setdefault("cimanow_movies", [])
+        rev: dict[str, str] = {}
+        for ar, en in CIMA_NOW_GENRES.items():
+            rev.setdefault(en, ar)
+        seen_titles: set[str] = set()
+        for key, rec in records.items():
+            title = rec["Title"]
+            genres = rec.get("Genres") or []
+            sources = rec.get("Sources") or []
+            image = rec.get("Image Source", "")
+            raw_genres = " ، ".join(rev.get(g, "") for g in genres)
+            li_text = f"{title} {raw_genres}"
+            sources_ok = all(
+                isinstance(s, dict) and len(s) == 1
+                and all(
+                    isinstance(q, str) and q and " " not in q
+                    and isinstance(u, str) and u
+                    for q, u in s.items()
+                )
+                for s in sources
+            )
+            ok = (
+                title not in seen_titles
+                and all(g in rev for g in genres)
+                # reference title recovery: li.text.replace(raw_genres,
+                # '').strip() must round-trip (fails if the title itself
+                # contains the genre string)
+                and li_text.replace(raw_genres, "").strip() == title
+                and [CIMA_NOW_GENRES.get(g) for g in raw_genres.split(" ، ")]
+                == genres
+                and sources_ok
+                and sources
+            )
+            if not ok:
+                self._skip("cimanow_movies")
+                continue
+            seen_titles.add(title)
+            slug = f"cn-{key}"
+            watch = f"https://{host}/{slug}/watching"
+            self._tmdb(title, "movies", rec.get("TMDb ID"))
+
+            def card(h: H, slug=slug, title=title, raw_genres=raw_genres,
+                     image=image):
+                h.open("article")
+                h.open("a", href=f"https://{host}/{slug}/")
+                h.leaf("img", None, src=image)
+                h.close("a")
+                h.open("ul")
+                h.leaf("li", "badge")
+                h.open("li")
+                h.text(f"{title} ")
+                h.leaf("em", raw_genres)
+                h.close("li")
+                h.close("ul")
+                h.close("article")
+            cards.append(card)
+
+            wh = H()
+            wh.open("ul", id="download")
+            wh.open("li")
+            for s in sources:
+                (quality, url_), = s.items()
+                wh.leaf("a", f"{quality} تحميل", href=url_)
+            wh.close("li")
+            wh.close("ul")
+            self._add_page(watch, wh.page())
+
+            # expected id mirrors the shared lookup (first registration
+            # wins on a cross-family title conflict, like the reference's
+            # per-title TMDb cache)
+            reg = self.tmdb_lookup.get(title)
+            exp.append({
+                "title": title, "genres": genres, "image_source": image,
+                "sources": sources,
+                "tmdb_id": reg[1] if reg and reg[0] == "movies" else None,
+            })
+
+        route = "arabic-movies"
+        h = H()
+        h.open("section")
+        for c in cards:
+            c(h)
+        h.close("section")
+        # last ul's last li = last page (Common.py:388-389)
+        h.open("ul", class_="pagination")
+        h.leaf("li", "1")
+        h.close("ul")
+        built = h.page()
+        root = f"https://{host}/category/{route}"
+        self._add_page(root, built)
+        self._add_page(root + "/page/1", built)
+        self._seed(root, "cimanow", "cimanow-movie", root + "/page/{p}")
         self.robots_hosts.add(host)
 
     # -- Spark loaders -----------------------------------------------------
