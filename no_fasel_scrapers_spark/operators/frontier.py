@@ -30,18 +30,39 @@ FRONTIER_SCHEMA = (
 ORDER_COLS = ["priority", "depth", "url_hash"]
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _frontier_key_cols(n_salts: int):
+    """Loop-invariant Column trees for :func:`with_frontier_keys`.
+
+    Column objects are immutable unresolved-expression trees bound by NAME,
+    so the same objects re-apply to any DataFrame with a ``url`` column.
+    Building them costs ~100 py4j roundtrips (the canonicalization tree is
+    deep); the crawl loop calls this every wave, so caching removes a
+    measurable slice of per-wave driver latency."""
+    canon = canonicalize_url(F.col("url"))
+    h = F.xxhash64(canon)
+    return (
+        canon.alias("url"),
+        h.alias("url_hash"),
+        url_host(canon).alias("host"),
+        F.pmod(h, F.lit(n_salts)).cast("int").alias("host_salt"),
+    )
+
+
 def with_frontier_keys(df: DataFrame, n_salts: int = 8) -> DataFrame:
     """Normalize raw (url, …) rows into frontier rows: canonicalize the url
-    and attach url_hash / host / host_salt."""
-    canon = canonicalize_url(F.col("url"))
-    return (
-        df.withColumn("url", canon)
-        .withColumn("url_hash", F.xxhash64(F.col("url")))
-        .withColumn("host", url_host(F.col("url")))
-        .withColumn(
-            "host_salt", F.pmod(F.col("url_hash"), F.lit(n_salts)).cast("int")
-        )
-    )
+    and attach url_hash / host / host_salt.  Output column order: the four
+    key columns first, then the remaining input columns (callers select
+    their exact shape afterwards)."""
+    url_c, hash_c, host_c, salt_c = _frontier_key_cols(n_salts)
+    others = [
+        c for c in df.columns
+        if c not in ("url", "url_hash", "host", "host_salt")
+    ]
+    return df.select(url_c, hash_c, host_c, salt_c, *others)
 
 
 def seeds_to_frontier(seeds: DataFrame, n_salts: int = 8) -> DataFrame:
@@ -151,17 +172,11 @@ def expand_pagination_df(
     NULL ``from_url`` probes are ignored by the min (probes always carry
     the url that declared them).
     """
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(
-        "site", "category", "url_template", "depth", "priority"
-    ).orderBy(F.col("last_page").desc())
+    probe_filter, band_cols, expand_cols, out_cols = _pagination_cols(
+        max_pages
+    )
     ex = (
-        probes.filter(
-            F.col("last_page").isNotNull()
-            & (F.col("last_page") >= 1)
-            & F.col("url_template").isNotNull()
-        )
+        probes.filter(probe_filter)
         # one row per distinct declared extent
         .groupBy(
             "site", "category", "url_template", "depth", "priority",
@@ -170,53 +185,70 @@ def expand_pagination_df(
         .agg(F.min("from_url").alias("from_url"))
         # band (next_smaller_extent, this_extent] is covered by this and
         # all larger extents → running min of from_url in desc order
-        .select(
-            "site", "category", "url_template", "depth", "priority",
-            F.min("from_url")
-            .over(w.rowsBetween(Window.unboundedPreceding, 0))
-            .alias("from_url"),
-            # wide types until after the clamp: casting a corrupt long to
-            # int can wrap negative and defeat the guard
-            (F.lead(F.col("last_page").cast("long"), 1, 0).over(w) + 1)
-            .alias("band_start"),
-            F.least(
-                F.col("last_page").cast("long"),
-                F.lit(max_pages).cast("long"),
-            ).alias("band_stop"),
-        )
+        .select(*band_cols)
         .filter(F.col("band_start") <= F.col("band_stop"))
-        .select(
-            "site", "category", "url_template", "depth", "priority",
-            "from_url",
-            F.explode(
-                F.sequence(
-                    F.col("band_start").cast("int"),
-                    F.col("band_stop").cast("int"),
-                )
-            ).alias("page"),
-        )
-        .select(
-            F.replace(
-                F.col("url_template"), F.lit("{p}"),
-                F.col("page").cast("string"),
-            ).alias("url"),
-            "site",
-            "category",
-            F.lit("listing").alias("role"),
-            F.lit(None).cast("string").alias("url_template"),
-            (F.coalesce(F.col("depth"), F.lit(0)) + 1).cast("int").alias(
-                "depth"
-            ),
-            F.coalesce(F.col("priority"), F.lit(0)).cast("int").alias(
-                "priority"
-            ),
-            F.col("from_url").cast("string").alias("discovered_from"),
-        )
+        .select(*expand_cols)
+        .select(*out_cols)
     )
     return with_frontier_keys(ex, n_salts).select(
         "url", "url_hash", "host", "host_salt", "site", "category", "role",
         "url_template", "depth", "priority", "discovered_from",
     )
+
+
+@lru_cache(maxsize=8)
+def _pagination_cols(max_pages: int):
+    """Loop-invariant Column trees for :func:`expand_pagination_df` (same
+    rationale as :func:`_frontier_key_cols`)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(
+        "site", "category", "url_template", "depth", "priority"
+    ).orderBy(F.col("last_page").desc())
+    probe_filter = (
+        F.col("last_page").isNotNull()
+        & (F.col("last_page") >= 1)
+        & F.col("url_template").isNotNull()
+    )
+    band_cols = (
+        F.col("site"), F.col("category"), F.col("url_template"),
+        F.col("depth"), F.col("priority"),
+        F.min("from_url")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("from_url"),
+        # wide types until after the clamp: casting a corrupt long to
+        # int can wrap negative and defeat the guard
+        (F.lead(F.col("last_page").cast("long"), 1, 0).over(w) + 1)
+        .alias("band_start"),
+        F.least(
+            F.col("last_page").cast("long"),
+            F.lit(max_pages).cast("long"),
+        ).alias("band_stop"),
+    )
+    expand_cols = (
+        F.col("site"), F.col("category"), F.col("url_template"),
+        F.col("depth"), F.col("priority"), F.col("from_url"),
+        F.explode(
+            F.sequence(
+                F.col("band_start").cast("int"),
+                F.col("band_stop").cast("int"),
+            )
+        ).alias("page"),
+    )
+    out_cols = (
+        F.replace(
+            F.col("url_template"), F.lit("{p}"),
+            F.col("page").cast("string"),
+        ).alias("url"),
+        F.col("site"),
+        F.col("category"),
+        F.lit("listing").alias("role"),
+        F.lit(None).cast("string").alias("url_template"),
+        (F.coalesce(F.col("depth"), F.lit(0)) + 1).cast("int").alias("depth"),
+        F.coalesce(F.col("priority"), F.lit(0)).cast("int").alias("priority"),
+        F.col("from_url").cast("string").alias("discovered_from"),
+    )
+    return probe_filter, band_cols, expand_cols, out_cols
 
 
 def expand_pagination(

@@ -266,6 +266,45 @@ def run_crawl(
     # prune with wave-bounded joins only.
     leftover_vs_full = seen_prior is not None
 
+    # Loop-invariant Column trees, built ONCE: Columns are immutable
+    # name-bound expression trees, so the same objects re-apply every wave.
+    # Rebuilding them per wave cost ~0.5s of py4j roundtrips per wave at
+    # any scale (driver fixed cost, measured round 3).
+    _links_cols = (
+        F.explode_outer("links").alias("l"),
+        F.col("url").alias("discovered_from"),
+        F.col("category"), F.col("depth"), F.col("priority"),
+    )
+    _child_cols = (
+        F.col("l.url").alias("url"),
+        F.lit(None).cast("string").alias("site"),
+        F.col("category"),
+        F.col("l.role").alias("role"),
+        F.lit(None).cast("string").alias("url_template"),
+        (F.col("depth") + 1).cast("int").alias("depth"),
+        F.col("priority").cast("int").alias("priority"),
+        F.col("discovered_from"),
+    )
+    _site_expr = _site_col(F.col("host"))
+    _frontier_shape = [
+        "url", "url_hash", "host", "host_salt", "site", "category",
+        "role", "url_template", "depth", "priority", "discovered_from",
+    ]
+    _probe_cols = (
+        F.col("site"), F.col("category"), F.col("url_template"),
+        # reference HDW over-scan quirk: pages 1..last+1
+        # (HDWMoviesScraper.py:60)
+        (
+            F.col("last_page")
+            + F.when(F.col("site") == "hdw", 1).otherwise(0)
+        ).alias("last_page"),
+        F.col("depth"), F.col("priority"), F.col("url").alias("from_url"),
+    )
+    _extract_in_cols = (
+        "url", "role", "html", "site", "category", "depth", "priority",
+        "url_template",
+    )
+
     while wave_no < max_waves:
         t_ms: dict = {}
         _t0 = time.monotonic()
@@ -312,15 +351,24 @@ def run_crawl(
             )
             catalog.write(blobs, "blobs", meta={"wave": wave_no})
             blobs = catalog.read(spark, "blobs")
-        # a broadcast hint is only safe when the wave is budget-bounded;
-        # unbudgeted runs leave the join strategy to AQE (which still
-        # broadcasts small runtime sizes, and falls back instead of OOMing)
+        # a broadcast hint is only safe when the wave is KNOWN bounded:
+        # either by an explicit budget, or because the previous wave's
+        # frontier-snapshot manifest counted this frontier small (exact
+        # footer counts, job-free — ≤5M rows is ≤~40MB of hash keys).
+        # Unbudgeted unknown-size waves leave the strategy to AQE (which
+        # still broadcasts small runtime sizes, and falls back instead of
+        # OOMing).
         bounded_wave = (
             wave_budget is not None and wave_budget <= 50_000_000
-        )
-        fresh = dedup_against_seen(
-            allowed, seen, blobs, n_shards, broadcast_hint=bounded_wave
-        )
+        ) or (frontier_rows is not None and frontier_rows <= 5_000_000)
+        if seen_count == 0 and wave_no == 0 and seen_prior is None:
+            # truly-fresh first wave: the seen set is empty, the anti-join
+            # is the identity — skip its broadcast build + probe stages
+            fresh = allowed
+        else:
+            fresh = dedup_against_seen(
+                allowed, seen, blobs, n_shards, broadcast_hint=bounded_wave
+            )
         scheduled = schedule_fetches(fresh, robots_b, n_salts).observe(
             obs_sched,
             F.count(F.lit(1)).alias("n"),
@@ -369,10 +417,9 @@ def run_crawl(
             F.col("p_url").isNull() | (F.col("p_url") == F.col("url"))
         )
 
-        extracted = fetched.select(
-            "url", "role", "html", "site", "category", "depth", "priority",
-            "url_template",
-        ).mapInPandas(_extractor(wave_no), schema=CRAWL_EXTRACT_SCHEMA)
+        extracted = fetched.select(*_extract_in_cols).mapInPandas(
+            _extractor(wave_no), schema=CRAWL_EXTRACT_SCHEMA
+        )
 
         # ---- checkpoint this wave's outputs (append-log snapshot) --------
         # the hit count rides the write action as an Observation — the
@@ -403,20 +450,34 @@ def run_crawl(
         # lineage keeps the top-K busiest hosts, not every host: at crawl
         # scale a wave can touch millions of hosts and an unbounded collect
         # would be a driver OOM; the full per-host distribution stays
-        # queryable from the scheduled/extracted tables
-        host_metrics = [
-            r.asDict()
-            for r in politeness_metrics(scheduled)
-            .orderBy(F.desc("n_urls"), "host")
-            .limit(16)
-            .collect()
-        ]
+        # queryable from the scheduled/extracted tables.  The collect runs
+        # on a worker THREAD so its job overlaps the seen-checkpoint write
+        # below — the two read independent inputs (persisted scheduled vs
+        # the same), and overlapping independent jobs hides per-job
+        # scheduling latency on a cluster the same way it does here.
+        import threading
+
+        host_metrics: list = []
+        _host_err: list = []
+
+        def _collect_hosts():
+            try:
+                host_metrics.extend(
+                    r.asDict()
+                    for r in politeness_metrics(scheduled)
+                    .orderBy(F.desc("n_urls"), "host")
+                    .limit(16)
+                    .collect()
+                )
+            except BaseException as ex:  # re-raised on join
+                _host_err.append(ex)
+
+        host_thread = threading.Thread(target=_collect_hosts, daemon=True)
+        host_thread.start()
         _mark("wave_counts")
-        links_df = wave_ex.select(
-            F.explode_outer("links").alias("l"),
-            F.col("url").alias("discovered_from"),
-            "category", "depth", "priority",
-        ).filter(F.col("l").isNotNull())
+        links_df = wave_ex.select(*_links_cols).filter(
+            F.col("l").isNotNull()
+        )
 
         # ---- audit rank / seen update ------------------------------------
         if audit:
@@ -432,55 +493,58 @@ def run_crawl(
             )
         # append-log: only this wave's delta is written (O(delta), never a
         # rewrite of the growing set — the 10^10-URL requirement); read_log
-        # reassembles base + deltas as a flat multi-path parquet scan
-        catalog.write(
-            seen_delta, "seen", meta={"wave": wave_no, "kind": "delta"}
-        )
-        seen = catalog.read_log(spark, "seen")
-        if blobs is not None:
-            # OR the wave's delta into the standing blobs (pinned size) and
-            # checkpoint; read-back keeps the blob lineage flat across waves
-            delta_blobs = build_filter_blobs(
-                seen_delta.select("url_hash"),
-                n_shards,
-                n_expected_per_shard=n_per_shard,
-            )
-            blobs = merge_filter_blobs(blobs, delta_blobs)
-            catalog.write(blobs, "blobs", meta={"wave": wave_no})
-            blobs = catalog.read(spark, "blobs")
+        # reassembles base + deltas as a flat multi-path parquet scan.
+        # The write runs on a thread: its job overlaps the (driver-side)
+        # next-frontier plan construction below, which depends on wave_ex
+        # and scheduled but NOT on the seen log; everything that consumes
+        # the updated log sits after the join().
+        # right-size the delta's file count from the observed wave size
+        # (4M rows ≈ a few hundred MB of url+hash per file): the delta
+        # inherits `scheduled`'s 32-partition shuffle layout, which at
+        # small waves writes 32 near-empty files per wave and makes the
+        # log's read fan-out O(32·waves)
+        _seen_parts = max(1, min(n_shards, n_fresh // 4_000_000 + 1))
+        seen_out = seen_delta.coalesce(_seen_parts)
+        _seen_err: list = []
+
+        def _write_seen():
+            try:
+                catalog.write(
+                    seen_out, "seen",
+                    meta={"wave": wave_no, "kind": "delta"},
+                )
+                if blobs is not None:
+                    # OR the wave's delta into the standing blobs (pinned
+                    # size) and checkpoint; read-back keeps the blob
+                    # lineage flat across waves
+                    delta_blobs = build_filter_blobs(
+                        seen_delta.select("url_hash"),
+                        n_shards,
+                        n_expected_per_shard=n_per_shard,
+                    )
+                    catalog.write(
+                        merge_filter_blobs(blobs, delta_blobs), "blobs",
+                        meta={"wave": wave_no},
+                    )
+            except BaseException as ex:
+                _seen_err.append(ex)
+
+        seen_thread = threading.Thread(target=_write_seen, daemon=True)
+        seen_thread.start()
         _mark("seen_checkpoint")
 
         # ---- next frontier -------------------------------------------------
-        child = links_df.select(
-            F.col("l.url").alias("url"),
-            F.lit(None).cast("string").alias("site"),
-            "category",
-            F.col("l.role").alias("role"),
-            F.lit(None).cast("string").alias("url_template"),
-            (F.col("depth") + 1).cast("int").alias("depth"),
-            F.col("priority").cast("int").alias("priority"),
-            "discovered_from",
-        )
-        child = with_frontier_keys(child, n_salts).withColumn(
-            "site", _site_col(F.col("host"))
-        ).select(
-            "url", "url_hash", "host", "host_salt", "site", "category",
-            "role", "url_template", "depth", "priority", "discovered_from",
+        child = (
+            with_frontier_keys(links_df.select(*_child_cols), n_salts)
+            .withColumn("site", _site_expr)
+            .select(*_frontier_shape)
         )
 
         # pagination expansion stays on executors (no probe collect): a wave
         # discovering a million listing extents expands distributed
-        probes = wave_ex.select(
-            "site", "category", "url_template",
-            # reference HDW over-scan quirk: pages 1..last+1
-            # (HDWMoviesScraper.py:60)
-            (
-                F.col("last_page")
-                + F.when(F.col("site") == "hdw", 1).otherwise(0)
-            ).alias("last_page"),
-            "depth", "priority", F.col("url").alias("from_url"),
+        pagination = expand_pagination_df(
+            wave_ex.select(*_probe_cols), n_salts
         )
-        pagination = expand_pagination_df(probes, n_salts)
 
         # ---- frontier pre-prune (wave-bounded; never shuffles seen) -----
         # Round 1 anti-joined the whole nxt against the whole seen set —
@@ -498,6 +562,14 @@ def run_crawl(
         # bloom+anti-join remains the correctness gate either way.
         discoveries = child.unionByName(pagination)
         _mark("next_frontier_plan")
+        # the seen log (and standing blobs) must be current before the
+        # prune below reads them
+        seen_thread.join()
+        if _seen_err:
+            raise _seen_err[0]
+        seen = catalog.read_log(spark, "seen")
+        if blobs is not None:
+            blobs = catalog.read(spark, "blobs")
         if leftover_vs_full:
             # one-off: imported-history frontier may overlap prior seen
             leftover_p = leftover.join(
@@ -522,11 +594,9 @@ def run_crawl(
         nxt = leftover_p.unionByName(disc_p)
 
         _mark("next_frontier_prune_plan")
-        f_snap = catalog.write(nxt, "frontier", meta={"wave": wave_no + 1})
-        frontier_rows = f_snap.rows
-        frontier = catalog.read(spark, "frontier")
-        _mark("next_frontier")
-
+        host_thread.join()
+        if _host_err:
+            raise _host_err[0]
         lineage.append(
             {
                 "wave": wave_no,
@@ -541,22 +611,42 @@ def run_crawl(
                 "t_ms": t_ms,
             }
         )
-        catalog.write(
-            spark.createDataFrame(
-                [
-                    (
-                        l["wave"], l["frontier_size"], l["robots_blocked"],
-                        l["dedup_dropped"], l["attempted"], l["fetched"],
-                        l["missed"],
-                    )
-                    for l in lineage
-                ],
-                "wave int, frontier_size long, robots_blocked long, "
-                "dedup_dropped long, attempted long, fetched long, missed long",
-            ),
-            "lineage",
-            meta={"wave": wave_no},
+        # lineage is an append-log too: ONE row per wave (O(delta), not a
+        # growing rewrite), published on a thread that overlaps the
+        # frontier write — the two jobs share no inputs
+        l = lineage[-1]
+        lineage_df = spark.createDataFrame(
+            [
+                (
+                    l["wave"], l["frontier_size"], l["robots_blocked"],
+                    l["dedup_dropped"], l["attempted"], l["fetched"],
+                    l["missed"],
+                )
+            ],
+            "wave int, frontier_size long, robots_blocked long, "
+            "dedup_dropped long, attempted long, fetched long, missed long",
         )
+        _lin_err: list = []
+
+        def _write_lineage():
+            try:
+                catalog.write(
+                    lineage_df, "lineage",
+                    meta={"wave": wave_no, "kind": "delta"},
+                )
+            except BaseException as ex:
+                _lin_err.append(ex)
+
+        lin_thread = threading.Thread(target=_write_lineage, daemon=True)
+        lin_thread.start()
+        f_snap = catalog.write(nxt, "frontier", meta={"wave": wave_no + 1})
+        frontier_rows = f_snap.rows
+        frontier = catalog.read(spark, "frontier")
+        lin_thread.join()
+        if _lin_err:
+            raise _lin_err[0]
+        _mark("next_frontier")
+
         scheduled.unpersist()
         wave.unpersist()
         wave_no += 1
@@ -596,7 +686,15 @@ def resume_crawl(
     )
     lineage = []
     if catalog.exists("lineage"):
-        lineage = [r.asDict() for r in catalog.read(spark, "lineage").collect()]
+        # append-log: one row per wave since round 3; dropDuplicates keeps
+        # resume working over catalogs written by the old full-rewrite form
+        lineage = [
+            r.asDict()
+            for r in catalog.read_union(spark, "lineage")
+            .dropDuplicates(["wave"])
+            .orderBy("wave")
+            .collect()
+        ]
     return run_crawl(
         spark, pages, seeds, robots, catalog,
         start_wave=start_wave, frontier=frontier, seen=seen, lineage=lineage,
