@@ -211,7 +211,15 @@ def main() -> None:
         cpus = int(sys.argv[sys.argv.index("--extract-once") + 1])
         spark = _spark(cpus)
         bench_extract(spark, pages_path, N_PAGES)  # warmup (JIT + workers)
-        secs = min(bench_extract(spark, pages_path, N_PAGES) for _ in range(2))
+        # min-of-3 (was 2): this shared-KVM host shows transient 30-40%
+        # slowdowns lasting under a minute (round-3 paired trials: one
+        # hi-level 26.9s against four at 19-22s); a third sample gives
+        # each level one more chance to observe the box's baseline.
+        # Symmetric across levels, so the hi/lo ratio stays unbiased.
+        runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+        secs = min(
+            bench_extract(spark, pages_path, N_PAGES) for _ in range(runs)
+        )
         spark.stop()
         print(json.dumps({"sec": secs}))
         return
