@@ -13,15 +13,25 @@ Components:
    ``$SPARK_GRAFT_SF_DIR``.
 
 Modes:
-    python bench.py             # one JSON line (driver contract)
-    python bench.py --scaling   # same extract job at local[N/4] and
-                                # local[N]: throughput at both + efficiency
-                                # (sandbox evidence for the north_rule's
-                                # two-cluster-size criterion)
+    python bench.py                  # one JSON line (driver contract)
+    python bench.py --scaling        # extract job at local[N/4] and local[N]:
+                                     # paired-median efficiency (sandbox
+                                     # evidence for the north_rule's
+                                     # two-cluster-size criterion)
+    python bench.py --crawl-scale    # full-engine site crawl at N_PAGES
+    python bench.py --crawl-scaling  # the SAME two-level paired protocol,
+                                     # but over the WHOLE crawl loop
+                                     # (frontier/robots/dedup/politeness/
+                                     # fetch-join/extract/checkpoint), not
+                                     # just the extract stage
+    python bench.py --training-scale # corpus operators at ≥1M docs
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_BENCH_PAGES (default 120000).
+     SPARK_GRAFT_BENCH_PAGES (default 120000),
+     SPARK_GRAFT_SCALE_LEVELS (e.g. "16,4"), SPARK_GRAFT_SCALE_TRIALS,
+     SPARK_GRAFT_SCALE_RUNS (min-of-N per level, extract lane),
+     SPARK_GRAFT_SCALE_CONTROL=0 to skip the no-engine control.
 """
 
 from __future__ import annotations
@@ -92,6 +102,26 @@ def _spark(cpus: int):
     )
 
 
+def _crawl_spark(cpus: int):
+    """Session for the full-engine site crawl (warehouse outside the repo:
+    saveAsTable in bucketed mode writes under spark.sql.warehouse.dir)."""
+    os.environ.setdefault(
+        "SPARK_GRAFT_WAREHOUSE",
+        os.path.join(tempfile.gettempdir(), "nfs_bench_warehouse"),
+    )
+    from no_fasel_scrapers_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench-crawl-local{cpus}",
+        master=f"local[{cpus}]",
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(max(cpus, 8)),
+            "spark.driver.memory": f"{max(cpus, 8)}g",
+            "spark.sql.warehouse.dir": os.environ["SPARK_GRAFT_WAREHOUSE"],
+        },
+    )
+
+
 def _materialize(df) -> None:
     """Force full execution without driver collect (noop sink)."""
     df.write.mode("overwrite").format("noop").save()
@@ -104,6 +134,21 @@ def prepare_pages(spark, path: str, n: int) -> None:
     from no_fasel_scrapers_spark.sources.pagegen import gen_pages
 
     gen_pages(spark, n, partitions=256).write.mode("overwrite").parquet(path)
+
+
+def prepare_site(spark) -> str:
+    """Write the generated crawlable site once (N_PAGES detail items +
+    N/16 listing pages + root, one host); return its parquet path."""
+    site_path = os.path.join(
+        tempfile.gettempdir(), f"nfs_bench_site_{N_PAGES}"
+    )
+    if not os.path.exists(os.path.join(site_path, "_SUCCESS")):
+        from no_fasel_scrapers_spark.sources.pagegen import gen_site_pages
+
+        gen_site_pages(spark, N_PAGES, partitions=256).write.mode(
+            "overwrite"
+        ).parquet(site_path)
+    return site_path
 
 
 def extract_job(spark, pages_path: str):
@@ -176,6 +221,163 @@ def bench_crawl(spark, runs: int = 2) -> tuple[float, int]:
     return best
 
 
+def crawl_site_run(spark, pages, cpus: int) -> tuple[float, int, int]:
+    """One timed full-engine crawl over the generated site: seed →
+    pagination-extent discovery → frontier waves → robots → bloom dedup →
+    salted politeness → fetch join → extraction → per-wave checkpointing.
+    Returns (wall_sec, pages_extracted, waves)."""
+    from no_fasel_scrapers_spark.plans.crawl import run_crawl
+    from no_fasel_scrapers_spark.sources.catalog import Catalog
+    from no_fasel_scrapers_spark.sources.pagegen import site_seed_rows
+
+    seeds = spark.createDataFrame(
+        [tuple(s.values()) for s in site_seed_rows()],
+        "url string, site string, category string, priority int, "
+        "depth int, role string, url_template string",
+    )
+    robots = spark.createDataFrame(
+        [("fasel.test", [], 0)],
+        "host string, disallow_prefixes array<string>, crawl_delay_ms int",
+    )
+    tmp = tempfile.mkdtemp(prefix="nfs_bench_site_crawl_")
+    try:
+        t0 = time.time()
+        res = run_crawl(
+            spark, pages, seeds, robots, Catalog(tmp),
+            n_salts=max(cpus * 2, 8),
+            expected_urls=max(2 * N_PAGES, 2_000_000),
+            cache_pages=False,
+        )
+        n_extracted = res.extracted.count()
+        return time.time() - t0, n_extracted, res.waves
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _paired_trials(once_flag: str, hi_lo: list[int], trials: int,
+                   control: bool) -> list[dict]:
+    """Interleaved paired scaling trials — the two-cluster-size estimator.
+
+    Each trial measures (hi, lo[, no-engine control]) back-to-back under
+    the same box state: one subprocess per level, pinned to a CPU set via
+    taskset so the small level behaves like a genuinely smaller machine
+    (unpinned, the small JVM's GC/Arrow/shuffle helper threads overflow
+    onto idle cores and inflate the small-cluster baseline).  Efficiency
+    is computed WITHIN each triple — eff_i = lo_sec_i / (hi_sec_i·hi/lo),
+    attr_i = eff_i / ctl_eff_i — and callers headline the MEDIAN over
+    trials with every pair reported.  A best-of recombined across trials
+    (round 2's estimator, ADVICE r2 #1) could pair a lucky hi with a
+    lucky lo from different box states and bias the ratio upward.
+
+    The control (scripts/scaling_control.py) runs the same extraction
+    loop as N pure pinned Python processes — no JVM/Arrow/parquet/
+    shuffle — so raw engine efficiency and the box's own ceiling are
+    sampled under the SAME host conditions.  On a single shared box the
+    big level pays all-core turbo drop + shared-bandwidth contention
+    that an N- vs 4N-executor cluster (constant per-node conditions)
+    does not; raw/ceiling is the engine-attributable number that
+    transfers.  Disable with SPARK_GRAFT_SCALE_CONTROL=0.
+
+    Non-"sec" keys of the hi level's JSON (e.g. the crawl lane's pages/
+    waves) are copied into the pair record as job metadata.
+    """
+    import subprocess
+
+    hi, lo = hi_lo
+    pairs: list[dict] = []
+    for _ in range(trials):
+        recs: dict[int, dict] = {}
+        for cpus in hi_lo:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   once_flag, str(cpus)]
+            if shutil.which("taskset"):
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            env = dict(os.environ, SPARK_GRAFT_BENCH_PAGES=str(N_PAGES))
+            out = subprocess.run(
+                cmd, capture_output=True, text=True, env=env, check=True
+            )
+            recs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        pair = {
+            "hi_sec": round(recs[hi]["sec"], 2),
+            "lo_sec": round(recs[lo]["sec"], 2),
+            "eff": round(
+                recs[lo]["sec"] / (recs[hi]["sec"] * (hi / lo)), 3
+            ),
+        }
+        pair.update(
+            (k, v) for k, v in recs[hi].items() if k != "sec"
+        )
+        if control:
+            ctl_cmd = [
+                sys.executable,
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "scripts", "scaling_control.py"),
+            ] + [str(c) for c in hi_lo]
+            env = dict(os.environ, SPARK_GRAFT_SCALE_TRIALS="1")
+            out = subprocess.run(
+                ctl_cmd, capture_output=True, text=True, env=env,
+                check=True,
+            )
+            ctl = json.loads(out.stdout.strip().splitlines()[-1])
+            thr = {int(k): v["total_pages_per_sec"]
+                   for k, v in ctl["levels"].items()}
+            pair["ctl_eff"] = round(thr[hi] / (thr[lo] * (hi / lo)), 3)
+            # > 1.0: the engine scaled better than the no-engine
+            # hardware-ceiling control under the SAME box state
+            pair["engine_attributable"] = round(
+                pair["eff"] / pair["ctl_eff"], 3
+            )
+        pairs.append(pair)
+        print(json.dumps({"trial": pair}), file=sys.stderr)
+    return pairs
+
+
+def _scaling_payload(metric: str, pairs: list[dict], hi_lo: list[int],
+                     n_items: int, control: bool, extra: dict) -> dict:
+    """One-line JSON for a paired scaling run (median over trials)."""
+    import statistics
+
+    hi, lo = hi_lo
+    effs = [p["eff"] for p in pairs]
+    med_hi = statistics.median(p["hi_sec"] for p in pairs)
+    med_lo = statistics.median(p["lo_sec"] for p in pairs)
+    payload = {
+        "metric": metric,
+        "value": round(statistics.median(effs), 3),
+        "unit": "ratio",
+        "estimator": "median of per-trial paired efficiencies",
+        "spread": [min(effs), max(effs)],
+        "pinned": bool(shutil.which("taskset")),
+        "trials": len(pairs),
+        "pairs": pairs,
+        "levels": {
+            f"local[{k}]": {
+                "sec": round(s, 2),
+                "pages_per_sec": round(n_items / s, 1),
+            }
+            for k, s in ((hi, med_hi), (lo, med_lo))
+        },
+        **extra,
+    }
+    if control:
+        attrs = [p["engine_attributable"] for p in pairs]
+        payload["hardware_ceiling_eff_median"] = round(
+            statistics.median(p["ctl_eff"] for p in pairs), 3
+        )
+        payload["engine_attributable"] = round(
+            statistics.median(attrs), 3
+        )
+        payload["engine_attributable_spread"] = [min(attrs), max(attrs)]
+    return payload
+
+
+def _scale_levels() -> list[int]:
+    levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "")
+    if levels:
+        return [int(x) for x in levels.split(",")]
+    return [CPUS, max(CPUS // 4, 1)]
+
+
 def run_queries(spark) -> dict[str, float]:
     """Per-query wall time: warm-up pass + min-of-2 measured runs.
 
@@ -224,6 +426,44 @@ def main() -> None:
         print(json.dumps({"sec": secs}))
         return
 
+    if "--crawl-once" in sys.argv:
+        # Internal: one measured full-engine site crawl at a given
+        # parallelism (spawned by --crawl-scaling inside a taskset CPU
+        # set).  The site parquet must already exist (the parent
+        # pre-generates it outside the measured region).
+        cpus = int(sys.argv[sys.argv.index("--crawl-once") + 1])
+        from no_fasel_scrapers_spark.plans.crawl import run_crawl
+        from no_fasel_scrapers_spark.sources.catalog import Catalog
+        from no_fasel_scrapers_spark.sources.fixture import (
+            Fixture,
+            FixtureConfig,
+        )
+
+        spark = _crawl_spark(cpus)
+        # Warm the crawl loop's cold paths (codegen, python workers, the
+        # parquet writer) on the SMALL synthetic-site fixture first: the
+        # site crawl runs once per level per trial, and a fresh JVM's
+        # fixed JIT cost would land on a 4× shorter wall at the big
+        # level, biasing the ratio downward for reasons that are not
+        # the engine's scaling.
+        fx = Fixture(FixtureConfig())
+        tmp = tempfile.mkdtemp(prefix="nfs_crawl_warm_")
+        try:
+            run_crawl(
+                spark, fx.pages_df(spark), fx.seeds_df(spark),
+                fx.robots_df(spark), Catalog(tmp),
+            ).extracted.count()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        site_path = prepare_site(spark)  # no-op: parent pre-generated
+        pages = spark.read.parquet(site_path)
+        wall, n_extracted, waves = crawl_site_run(spark, pages, cpus)
+        spark.stop()
+        print(json.dumps({
+            "sec": round(wall, 2), "pages": n_extracted, "waves": waves,
+        }))
+        return
+
     if "--crawl-scale" in sys.argv or "--crawl-scale-bucketed" in sys.argv:
         # Full engine (frontier waves, pagination discovery, robots, bloom
         # dedup, salted politeness, extraction, checkpointing) over the
@@ -231,40 +471,10 @@ def main() -> None:
         # metric measured through the WHOLE crawl loop at real wave sizes
         # (one listing wave of N/16 pages, one detail wave of N pages),
         # not just the extract stage.
-        from no_fasel_scrapers_spark.plans.crawl import run_crawl
-        from no_fasel_scrapers_spark.sources.catalog import Catalog
-        from no_fasel_scrapers_spark.sources.pagegen import (
-            gen_site_pages,
-            site_seed_rows,
-        )
-
         bucketed = "--crawl-scale-bucketed" in sys.argv
         n_buckets = 64
-        # warehouse outside the repo: saveAsTable (bucketed mode) writes
-        # table data under spark.sql.warehouse.dir
-        os.environ.setdefault(
-            "SPARK_GRAFT_WAREHOUSE",
-            os.path.join(tempfile.gettempdir(), "nfs_bench_warehouse"),
-        )
-        from no_fasel_scrapers_spark.session import get_spark
-
-        spark = get_spark(
-            app_name=f"bench-crawl-local{CPUS}",
-            master=f"local[{CPUS}]",
-            extra_conf={
-                "spark.sql.shuffle.partitions": str(max(CPUS, 8)),
-                "spark.driver.memory": f"{max(CPUS, 8)}g",
-                "spark.sql.warehouse.dir":
-                    os.environ["SPARK_GRAFT_WAREHOUSE"],
-            },
-        )
-        site_path = os.path.join(
-            tempfile.gettempdir(), f"nfs_bench_site_{N_PAGES}"
-        )
-        if not os.path.exists(os.path.join(site_path, "_SUCCESS")):
-            gen_site_pages(spark, N_PAGES, partitions=256).write.mode(
-                "overwrite"
-            ).parquet(site_path)
+        spark = _crawl_spark(CPUS)
+        site_path = prepare_site(spark)
         ingest_sec = None
         if bucketed:
             # The 100 TB ingest pattern: land the corpus BUCKETED by
@@ -286,34 +496,13 @@ def main() -> None:
             pages = spark.table(table)
         else:
             pages = spark.read.parquet(site_path)
-        seeds = spark.createDataFrame(
-            [tuple(s.values()) for s in site_seed_rows()],
-            "url string, site string, category string, priority int, "
-            "depth int, role string, url_template string",
-        )
-        robots = spark.createDataFrame(
-            [("fasel.test", [], 0)],
-            "host string, disallow_prefixes array<string>, crawl_delay_ms int",
-        )
-        tmp = tempfile.mkdtemp(prefix="nfs_bench_site_crawl_")
-        try:
-            t0 = time.time()
-            res = run_crawl(
-                spark, pages, seeds, robots, Catalog(tmp),
-                n_salts=max(CPUS * 2, 8),
-                expected_urls=max(2 * N_PAGES, 2_000_000),
-                cache_pages=False,
-            )
-            n_extracted = res.extracted.count()
-            wall = time.time() - t0
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        wall, n_extracted, waves = crawl_site_run(spark, pages, CPUS)
         out = {
             "metric": "crawl_pages_per_sec",
             "value": round(n_extracted / wall, 1),
             "unit": "pages/sec",
             "n_pages": n_extracted,
-            "waves": res.waves,
+            "waves": waves,
             "sec": round(wall, 2),
             "cpus": CPUS,
         }
@@ -321,6 +510,30 @@ def main() -> None:
             out["bucketed"] = n_buckets
             out["ingest_sec"] = ingest_sec
         print(json.dumps(out))
+        return
+
+    if "--crawl-scaling" in sys.argv:
+        # The north_rule's two-cluster-size criterion measured over the
+        # WHOLE crawl engine (not just the extract stage): the same
+        # generated-site crawl at two parallelism levels, paired-median
+        # protocol, in-protocol no-engine control.  One measured site
+        # crawl per level per trial (each run is minutes long and the
+        # wave loop repeats its own code paths, so JIT amortizes in-run;
+        # the fixture warm-up inside --crawl-once covers the cold start).
+        spark = _crawl_spark(CPUS)
+        prepare_site(spark)
+        spark.stop()
+
+        hi_lo = _scale_levels()
+        trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
+        control = os.environ.get("SPARK_GRAFT_SCALE_CONTROL", "1") != "0"
+        pairs = _paired_trials("--crawl-once", hi_lo, trials, control)
+        payload = _scaling_payload(
+            "crawl_scaling_efficiency", pairs, hi_lo,
+            n_items=pairs[0].get("pages", N_PAGES), control=control,
+            extra={"n_pages": N_PAGES},
+        )
+        print(json.dumps(payload))
         return
 
     if "--training-scale" in sys.argv:
@@ -386,125 +599,23 @@ def main() -> None:
         return
 
     if "--scaling" in sys.argv:
-        # Same job, same input, two parallelism levels (N and N/4 cores) —
-        # the sandbox stand-in for N vs 4N executors.  Each level runs in
-        # its own process pinned to a CPU set (taskset), so the small run
-        # behaves like a genuinely smaller machine: without pinning, the
-        # local[N/4] JVM's GC/shuffle/Arrow helper threads overflow onto
-        # the idle cores and inflate the small-cluster baseline.
-        import subprocess
-
+        # Same extract job, same input, two parallelism levels (N and N/4
+        # cores) — the sandbox stand-in for N vs 4N executors.  Protocol
+        # (pinned CPU sets, interleaved trials, paired-median estimator,
+        # in-protocol no-engine hardware control) documented on
+        # _paired_trials.
         spark = _spark(CPUS)
         prepare_pages(spark, pages_path, N_PAGES)
         spark.stop()
 
-        levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "")
-        if levels:
-            hi_lo = [int(x) for x in levels.split(",")]
-        else:
-            hi_lo = [CPUS, max(CPUS // 4, 1)]
-        # Interleave the levels across trials (hi, lo, hi, lo, ...) and
-        # take the per-level best.  The levels run minutes apart on a
-        # shared-host VM whose noisy-neighbor/thermal state drifts on
-        # exactly that timescale — running all of one level, then all of
-        # the other, bakes the drift into the ratio (observed: three
-        # serialized 32-core runs in one session declined 195k → 160k →
-        # 155k pages/sec while the 8-core level held steady).  Interleaving
-        # samples both levels under the same box conditions; best-of is
-        # the same least-contended estimator the non-scaling bench uses.
-        # Each trial also runs the NO-ENGINE hardware-ceiling control
-        # (scripts/scaling_control.py: the same extraction loop as N pure
-        # pinned Python processes — no JVM/Arrow/parquet/shuffle), so raw
-        # engine efficiency and the box's own ceiling are sampled under
-        # the SAME host conditions.  On a single shared box the big level
-        # pays all-core turbo drop + shared-bandwidth contention that an
-        # N- vs 4N-executor cluster (constant per-node conditions) does
-        # not; raw/ceiling is the engine-attributable number that
-        # transfers.  Disable with SPARK_GRAFT_SCALE_CONTROL=0.
-        # PAIRED estimator (ADVICE r2): each trial yields one (hi, lo,
-        # control) triple measured back-to-back under the same box state,
-        # and each trial's efficiency is computed WITHIN the triple —
-        # eff_i = thr_hi_i / (thr_lo_i * hi/lo), attr_i = eff_i / ctl_eff_i.
-        # The headline is the MEDIAN over trials (all pairs reported), not
-        # a best-of recombined across trials, which could pair a lucky hi
-        # with a lucky lo from different box states and bias the ratio up.
-        import statistics
-
+        hi_lo = _scale_levels()
         trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "5"))
         control = os.environ.get("SPARK_GRAFT_SCALE_CONTROL", "1") != "0"
-        hi, lo = hi_lo
-        pairs: list[dict] = []
-        for _ in range(trials):
-            secs: dict[int, float] = {}
-            for cpus in hi_lo:
-                cmd = [sys.executable, os.path.abspath(__file__),
-                       "--extract-once", str(cpus)]
-                if shutil.which("taskset"):
-                    cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-                env = dict(os.environ, SPARK_GRAFT_BENCH_PAGES=str(N_PAGES))
-                out = subprocess.run(
-                    cmd, capture_output=True, text=True, env=env, check=True
-                )
-                secs[cpus] = json.loads(
-                    out.stdout.strip().splitlines()[-1]
-                )["sec"]
-            pair = {
-                "hi_sec": round(secs[hi], 2),
-                "lo_sec": round(secs[lo], 2),
-                "eff": round(secs[lo] / (secs[hi] * (hi / lo)), 3),
-            }
-            if control:
-                ctl_cmd = [
-                    sys.executable,
-                    os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                 "scripts", "scaling_control.py"),
-                ] + [str(c) for c in hi_lo]
-                env = dict(os.environ, SPARK_GRAFT_SCALE_TRIALS="1")
-                out = subprocess.run(
-                    ctl_cmd, capture_output=True, text=True, env=env,
-                    check=True,
-                )
-                ctl = json.loads(out.stdout.strip().splitlines()[-1])
-                thr = {int(k): v["total_pages_per_sec"]
-                       for k, v in ctl["levels"].items()}
-                pair["ctl_eff"] = round(thr[hi] / (thr[lo] * (hi / lo)), 3)
-                # > 1.0: the engine scaled better than the no-engine
-                # hardware-ceiling control under the SAME box state
-                pair["engine_attributable"] = round(
-                    pair["eff"] / pair["ctl_eff"], 3
-                )
-            pairs.append(pair)
-            print(json.dumps({"trial": pair}), file=sys.stderr)
-        effs = [p["eff"] for p in pairs]
-        med_hi = statistics.median(p["hi_sec"] for p in pairs)
-        med_lo = statistics.median(p["lo_sec"] for p in pairs)
-        payload = {
-            "metric": "scaling_efficiency",
-            "value": round(statistics.median(effs), 3),
-            "unit": "ratio",
-            "estimator": "median of per-trial paired efficiencies",
-            "spread": [min(effs), max(effs)],
-            "n_pages": N_PAGES,
-            "pinned": bool(shutil.which("taskset")),
-            "trials": trials,
-            "pairs": pairs,
-            "levels": {
-                f"local[{k}]": {
-                    "sec": round(s, 2),
-                    "pages_per_sec": round(N_PAGES / s, 1),
-                }
-                for k, s in ((hi, med_hi), (lo, med_lo))
-            },
-        }
-        if control:
-            attrs = [p["engine_attributable"] for p in pairs]
-            payload["hardware_ceiling_eff_median"] = round(
-                statistics.median(p["ctl_eff"] for p in pairs), 3
-            )
-            payload["engine_attributable"] = round(
-                statistics.median(attrs), 3
-            )
-            payload["engine_attributable_spread"] = [min(attrs), max(attrs)]
+        pairs = _paired_trials("--extract-once", hi_lo, trials, control)
+        payload = _scaling_payload(
+            "scaling_efficiency", pairs, hi_lo, n_items=N_PAGES,
+            control=control, extra={"n_pages": N_PAGES},
+        )
         print(json.dumps(payload))
         return
 
