@@ -794,6 +794,85 @@ def q_text_stats(spark, sf_dir):
     )
 
 
+# Repetition-signal probe rows: the driver corpus is healthy templated
+# text, so without these neither the empty/single-word guards nor the
+# tie-break rule (max count, then lexicographically smallest) is ever
+# exercised by the oracle compare.  One constant feeds both sides.
+_REP_PROBE_ROWS = [
+    (9100001, ""),                      # empty → n_words 0, NULL tops
+    (9100002, "solo"),                  # 1 word → no 2-grams
+    (9100003, "b a b a"),               # a/b tie at 2 → 'a' wins
+    (9100004, "x x x x"),               # maximal repetition → fracs 1.0
+    (9100005, "  padded   spaces  "),   # \s+ split + trim parity
+    (9100006, "مرحبا مرحبا hello"),     # unicode binary-sort parity
+]
+
+_REP_PROBE_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"(CAST({i} AS BIGINT), '{t}')" for i, t in _REP_PROBE_ROWS
+) + ") AS probe(doc_id, text)"
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-family repetition quality signals (training-data op): dup
+    word/2-gram fractions and most-frequent word/2-gram coverage — all
+    narrow array built-ins + a sorted-run-length fold, zero shuffle."""
+    from no_fasel_scrapers_spark.operators.quality import (
+        with_repetition_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(_REP_PROBE_ROWS, "doc_id long, text string")
+    )
+    s = with_repetition_stats(d)
+    return s.select(
+        "doc_id",
+        "n_words",
+        F.round("dup_word_frac", 9).alias("dup_word_r"),
+        "top_word",
+        F.round("top_word_frac", 9).alias("top_word_r"),
+        F.round("dup_2gram_frac", 9).alias("dup_2gram_r"),
+        "top_2gram",
+        F.round("top_2gram_frac", 9).alias("top_2gram_r"),
+    )
+
+
+# Multi-line probe docs for corpus-level line dedup: the driver corpus is
+# single-line, so these pin the interesting branches — a boilerplate line
+# shared by >max_docs docs (removed everywhere), a line shared by exactly
+# max_docs (kept), empty/trailing lines (structure, never removed), and a
+# doc whose every line is boilerplate (reassembles to '').
+_LINE_PROBE_ROWS = [
+    (9200001, "subscribe now\nunique alpha\n\nrare line"),
+    (9200002, "subscribe now\nunique beta\nrare line"),
+    (9200003, "subscribe now\nunique gamma\n"),
+    (9200004, "subscribe now"),
+]
+
+
+def _line_probe_sql() -> str:
+    def lit(t: str) -> str:
+        return " || chr(10) || ".join(
+            "'" + p.replace("'", "''") + "'" for p in t.split("\n")
+        )
+
+    return "SELECT * FROM (VALUES " + ", ".join(
+        f"(CAST({i} AS BIGINT), {lit(t)})" for i, t in _LINE_PROBE_ROWS
+    ) + ") AS probe(doc_id, text)"
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-level boilerplate removal (training-data op):
+    lines occurring in >2 distinct docs are dropped from every doc; text
+    rebuilt in original order.  Big side shuffles once (reassembly); the
+    removal set is AQE-broadcast onto the exploded lines."""
+    from no_fasel_scrapers_spark.operators.quality import line_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text").unionByName(
+        spark.createDataFrame(_LINE_PROBE_ROWS, "doc_id long, text string")
+    )
+    return line_dedup(d, max_docs=2)
+
+
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard on adjacent-id candidate pairs."""
     from no_fasel_scrapers_spark.operators.dedup import jaccard_verify
@@ -1438,6 +1517,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       ``events_hourly_stream`` (availableNow drains to the batch answer);
     - ``ngram_jaccard`` — the jaccard-verify stage runs inside the
       oracle-checked ``minhash_dedup`` and ``near_dup_groups``.
+
+    Two more retired in round 3 to make room for the new corpus-curation
+    operators (``repetition_stats``, ``line_dedup``):
+
+    - ``ann_bruteforce`` — exact cosine top-k is the oracle-checked truth
+      side of ``ivf_recall`` (same brute_force_topk call);
+    - ``chunk_documents`` — the chunker runs inside the oracle-checked
+      ``training_prep`` capstone (per-chunk md5 pins its output).
     """
     return {
         "pricing_summary": q_pricing_summary,
@@ -1473,11 +1560,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_metadata": q_media_metadata,
         "media_features": q_media_features,
         "training_prep": q_training_prep,
-        "chunk_documents": q_chunk_documents,
         "exact_dedup": q_exact_dedup,
         "text_stats": q_text_stats,
+        "repetition_stats": q_repetition_stats,
+        "line_dedup": q_line_dedup,
         "events_hourly_stream": q_events_hourly_stream,
-        "ann_bruteforce": q_ann_bruteforce,
         "minhash_dedup": q_minhash_dedup,
         "near_dup_groups": q_near_dup_groups,
         "decontaminate": q_decontaminate,
@@ -1504,6 +1591,8 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "events_hourly": q_events_hourly,
         "cosine_pairs_exact": q_cosine_pairs_exact,
+        "ann_bruteforce": q_ann_bruteforce,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -1699,25 +1788,6 @@ def oracle_sql() -> dict[str, str]:
               ON c.c_nationkey = s.s_nationkey
              AND c.c_acctbal >= s.s_acctbal
              AND c.c_acctbal <= s.s_acctbal + 500.0
-        """,
-        "chunk_documents": """
-            WITH d AS (
-                SELECT doc_id,
-                       string_split_regex(trim(text), '\\s+') AS toks
-                FROM documents
-                WHERE text IS NOT NULL AND trim(text) <> ''
-            ), c AS (
-                SELECT doc_id, toks,
-                       CAST(ceil(len(toks) / 16.0) AS INT) AS n_chunks
-                FROM d
-            )
-            SELECT doc_id, CAST(i AS INT) AS chunk_id,
-                   CAST(len(toks[i*16+1 : least(i*16+32, len(toks))])
-                        AS INT) AS n_tokens,
-                   array_to_string(
-                       toks[i*16+1 : least(i*16+32, len(toks))], ' ')
-                       AS chunk_text
-            FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2074,24 +2144,97 @@ def oracle_sql() -> dict[str, str]:
                    'nfsi-fake' AS codec
             FROM documents
         """,
-        "ann_bruteforce": """
-            WITH q AS (
-                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-                FROM embeddings WHERE vec_id < 5
-            ), s AS (
-                SELECT q.query_id, e.vec_id,
-                       list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
-                FROM embeddings e, q
+        "repetition_stats": f"""
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL {_REP_PROBE_SQL}
+            ), w AS (
+                SELECT doc_id, generate_subscripts(ws, 1) AS ord,
+                       unnest(ws) AS w
+                FROM (
+                    SELECT doc_id,
+                           CASE WHEN trim(text) = ''
+                                THEN CAST([] AS VARCHAR[])
+                                ELSE string_split_regex(trim(text), '\\s+')
+                           END AS ws
+                    FROM d
+                )
+            ), wc AS (
+                SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2
+            ), topw AS (
+                SELECT doc_id, w AS top_word, c AS top_c FROM (
+                    SELECT doc_id, w, c, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY c DESC, w ASC
+                    ) AS rn FROM wc
+                ) WHERE rn = 1
+            ), wagg AS (
+                SELECT doc_id, count(*) AS n_w, count(DISTINCT w) AS nd_w
+                FROM w GROUP BY 1
+            ), g AS (
+                SELECT a.doc_id, a.w || ' ' || b.w AS g
+                FROM w a JOIN w b
+                  ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+            ), gc AS (
+                SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2
+            ), topg AS (
+                SELECT doc_id, g AS top_2gram, c AS top_c FROM (
+                    SELECT doc_id, g, c, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY c DESC, g ASC
+                    ) AS rn FROM gc
+                ) WHERE rn = 1
+            ), gagg AS (
+                SELECT doc_id, count(*) AS n_g, count(DISTINCT g) AS nd_g
+                FROM g GROUP BY 1
             )
-            SELECT query_id, vec_id, CAST(rn AS INTEGER) AS rank,
-                   round(c, 4) AS cosine_r
-            FROM (
-                SELECT query_id, vec_id, c,
-                       row_number() OVER (
-                           PARTITION BY query_id ORDER BY c DESC, vec_id ASC
-                       ) AS rn
-                FROM s
-            ) WHERE rn <= 10
+            SELECT d.doc_id,
+                   CAST(coalesce(wagg.n_w, 0) AS INTEGER) AS n_words,
+                   round(CASE WHEN coalesce(wagg.n_w, 0) = 0 THEN 0.0
+                         ELSE (wagg.n_w - wagg.nd_w) * 1.0 / wagg.n_w
+                         END, 9) AS dup_word_r,
+                   topw.top_word,
+                   round(CASE WHEN coalesce(wagg.n_w, 0) = 0 THEN 0.0
+                         ELSE topw.top_c * 1.0 / wagg.n_w
+                         END, 9) AS top_word_r,
+                   round(CASE WHEN coalesce(gagg.n_g, 0) = 0 THEN 0.0
+                         ELSE (gagg.n_g - gagg.nd_g) * 1.0 / gagg.n_g
+                         END, 9) AS dup_2gram_r,
+                   topg.top_2gram,
+                   round(CASE WHEN coalesce(gagg.n_g, 0) = 0 THEN 0.0
+                         ELSE topg.top_c * 1.0 / gagg.n_g
+                         END, 9) AS top_2gram_r
+            FROM d
+            LEFT JOIN wagg USING (doc_id)
+            LEFT JOIN topw USING (doc_id)
+            LEFT JOIN gagg USING (doc_id)
+            LEFT JOIN topg USING (doc_id)
+        """,
+        "line_dedup": f"""
+            WITH d AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL {_line_probe_sql()}
+            ), l AS (
+                SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                       unnest(ls) AS line
+                FROM (
+                    SELECT doc_id, string_split(text, chr(10)) AS ls FROM d
+                )
+            ), boiler AS (
+                SELECT line FROM l
+                WHERE trim(line) <> ''
+                GROUP BY line
+                HAVING count(DISTINCT doc_id) > 2
+            ), marked AS (
+                SELECT l.doc_id, l.pos, l.line,
+                       (b.line IS NOT NULL) AS boiler
+                FROM l LEFT JOIN boiler b ON l.line = b.line
+            )
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE NOT boiler), '') AS text,
+                   CAST(count(*) AS INTEGER) AS n_lines,
+                   CAST(count(*) FILTER (WHERE boiler) AS INTEGER)
+                       AS n_removed
+            FROM marked GROUP BY doc_id
         """,
     }
 
@@ -2135,5 +2278,43 @@ def retired_oracle_sql() -> dict[str, str]:
             WHERE a.vec_id < 100 AND b.vec_id < 100
               AND list_cosine_similarity(a.embedding::DOUBLE[],
                                          b.embedding::DOUBLE[]) >= 0.2
+        """,
+        "ann_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                FROM embeddings WHERE vec_id < 5
+            ), s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS c
+                FROM embeddings e, q
+            )
+            SELECT query_id, vec_id, CAST(rn AS INTEGER) AS rank,
+                   round(c, 4) AS cosine_r
+            FROM (
+                SELECT query_id, vec_id, c,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY c DESC, vec_id ASC
+                       ) AS rn
+                FROM s
+            ) WHERE rn <= 10
+        """,
+        "chunk_documents": """
+            WITH d AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS toks
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> ''
+            ), c AS (
+                SELECT doc_id, toks,
+                       CAST(ceil(len(toks) / 16.0) AS INT) AS n_chunks
+                FROM d
+            )
+            SELECT doc_id, CAST(i AS INT) AS chunk_id,
+                   CAST(len(toks[i*16+1 : least(i*16+32, len(toks))])
+                        AS INT) AS n_tokens,
+                   array_to_string(
+                       toks[i*16+1 : least(i*16+32, len(toks))], ' ')
+                       AS chunk_text
+            FROM c, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
         """,
     }

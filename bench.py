@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "politeness_schedule",
     "exact_dedup",
     "text_stats",
+    "repetition_stats",
+    "line_dedup",
     "minhash_dedup",
     "simhash_pairs",
     "ann_bruteforce",

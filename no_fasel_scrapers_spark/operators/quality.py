@@ -1,0 +1,191 @@
+"""Repetition / boilerplate quality signals for training-data curation.
+
+Two operators in the Gopher / CCNet lineage (public papers:
+"Scaling Language Models: Methods, Analysis & Insights from Training
+Gopher", Rae et al. 2021, §A1.1 repetition filters; "CCNet: Extracting
+High Quality Monolingual Datasets from Web Crawl Data", Wenzek et al.
+2019, §3.1 paragraph-level dedup):
+
+``with_repetition_stats``
+    Per-document word-level repetition signals (duplicate-word fraction,
+    most-frequent word / 2-gram and their coverage fractions).  Entirely
+    narrow — array built-ins + a sorted-run-length ``aggregate``, zero
+    shuffle, whole-stage codegen; at 100 TB this is a pure map over the
+    corpus.  Gopher defines the n-gram signals over *characters*; here
+    they are word-count fractions (documented divergence — equally
+    monotone in repetitiveness, cheaper, and exactly oracle-able).
+
+``line_dedup``
+    Corpus-level boilerplate-line removal: a line (split on ``\\n``)
+    that occurs in more than ``max_docs`` distinct documents is removed
+    from every document (CCNet removes paragraphs duplicated across the
+    corpus; the reference engine has no corpus-level notion — this is a
+    training-pipeline addition).  Scale shape: explode lines (narrow) →
+    map-side-combined count per distinct line → the *removal set* (lines
+    over threshold — a tiny fraction of distinct lines on real corpora)
+    joins back against the exploded lines, so AQE broadcasts it and the
+    100-TB side shuffles once, for the per-document reassembly.  Empty /
+    whitespace-only lines are structure, not boilerplate: never removed,
+    so the operator is idempotent and byte-preserving for clean docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from no_fasel_scrapers_spark.operators.textstats import ws_tokens
+
+
+def _top_run(sorted_arr: Column) -> Column:
+    """struct(best, best_val): longest run in a sorted array = count and
+    value of the most frequent element; ties break to the first run in
+    sort order, i.e. the lexicographically smallest value.  O(n log n)
+    for the sort, one linear fold, all JVM-side."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(None).cast("string").alias("best_val"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(acc["prev"].eqNullSafe(x), acc["run"] + 1).otherwise(
+            F.lit(1)
+        )
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["best_val"]).alias("best_val"),
+        )
+
+    return F.aggregate(sorted_arr, init, step)
+
+
+def word_2grams(words: Column) -> Column:
+    """Adjacent word 2-grams joined by one space ([] when < 2 words).
+    The size guard matters: ``sequence(1, 0)`` would count DOWN."""
+    return F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(words, i), F.element_at(words, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append word-repetition quality signals (Gopher §A1.1 family):
+
+    - ``n_words``          whitespace word count
+    - ``dup_word_frac``    1 − distinct words / words   (0 when empty)
+    - ``top_word``         most frequent word (ties → lexicographically
+                           smallest; NULL when empty)
+    - ``top_word_frac``    its count / n_words
+    - ``dup_2gram_frac``   1 − distinct 2-grams / 2-grams (0 when < 2)
+    - ``top_2gram``        most frequent adjacent 2-gram (NULL when < 2)
+    - ``top_2gram_frac``   its count / n_2grams
+    """
+    # Stage the expensive trees (token split, 2-gram build, run-length
+    # folds) as their own projection columns so each evaluates ONCE per
+    # row: higher-order functions run interpreted (outside codegen), and
+    # a single flat projection would re-evaluate the whole tree for
+    # every output column that references it (measured 8× slower at
+    # sf0.1).  CollapseProject keeps these stages separate exactly
+    # because the producing expressions are non-cheap and multiply
+    # referenced.
+    stage = (
+        df.withColumn("_rep_w", ws_tokens(F.col(text_col)))
+        .withColumn("_rep_g", word_2grams(F.col("_rep_w")))
+        .withColumn("_rep_tw", _top_run(F.array_sort(F.col("_rep_w"))))
+        .withColumn("_rep_tg", _top_run(F.array_sort(F.col("_rep_g"))))
+    )
+    n_w = F.size("_rep_w")
+    n_g = F.size("_rep_g")
+
+    def frac(num: Column, den: Column) -> Column:
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            num.cast("double") / den.cast("double")
+        )
+
+    return (
+        stage.withColumn("n_words", n_w)
+        .withColumn(
+            "dup_word_frac",
+            frac(n_w - F.size(F.array_distinct("_rep_w")), n_w),
+        )
+        .withColumn("top_word", F.col("_rep_tw")["best_val"])
+        .withColumn("top_word_frac", frac(F.col("_rep_tw")["best"], n_w))
+        .withColumn(
+            "dup_2gram_frac",
+            frac(n_g - F.size(F.array_distinct("_rep_g")), n_g),
+        )
+        .withColumn("top_2gram", F.col("_rep_tg")["best_val"])
+        .withColumn("top_2gram_frac", frac(F.col("_rep_tg")["best"], n_g))
+        .drop("_rep_w", "_rep_g", "_rep_tw", "_rep_tg")
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_docs: int = 2,
+) -> DataFrame:
+    """Remove lines that occur in more than ``max_docs`` distinct docs.
+
+    Returns one row per input document: ``(id_col, text, n_lines,
+    n_removed)`` with ``text`` rebuilt from the surviving lines in
+    original order ('' when every line was boilerplate).  Lines compare
+    byte-exact; ``split(text, '\\n', -1)`` keeps trailing empties so the
+    round trip is loss-free for kept lines.
+
+    Plan shape (the 100-TB question): one partial-agg shuffle over
+    distinct lines to build the removal set, which is then LEFT-joined
+    (AQE-broadcast when small, as it is on real corpora — boilerplate is
+    rare among *distinct* lines) onto the exploded lines, and one final
+    shuffle on ``id_col`` for reassembly.  The corpus never shuffles on
+    the raw line key for the join, so a mega-hot boilerplate line skews
+    only the count aggregation, where map-side combine absorbs it.
+    """
+    lines = F.split(F.col(text_col), "\n", -1)
+    exploded = df.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    )
+    removal = (
+        exploded.filter(F.trim(F.col("line")) != "")
+        .groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("line", F.lit(True).alias("boiler"))
+    )
+    marked = exploded.join(removal, "line", "left").select(
+        id_col, "pos", "line", F.coalesce("boiler", F.lit(False)).alias("boiler")
+    )
+    rebuilt = (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "line", "boiler"))
+            ).alias("parts")
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("parts"), lambda p: ~p["boiler"]),
+                    lambda p: p["line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.size("parts").alias("n_lines"),
+            F.size(F.filter(F.col("parts"), lambda p: p["boiler"])).alias(
+                "n_removed"
+            ),
+        )
+    )
+    return rebuilt

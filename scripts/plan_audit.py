@@ -132,6 +132,20 @@ EXPECTATIONS = {
         ("ReadSchema: struct<text:string>", True,
          "documents scan pruned to the text column"),
     ],
+    "repetition_stats": [
+        ("Exchange", False,
+         "repetition signals are a pure map — zero shuffle at any scale"),
+        ("ReadSchema: struct<doc_id:bigint,text:string>", True,
+         "documents scan pruned to the 2 needed columns"),
+    ],
+    "line_dedup": [
+        ("CartesianProduct", False, "no accidental cartesian product"),
+        ("partial_count", True,
+         "boilerplate count is map-side combined — a mega-hot line "
+         "skews only the partial agg, never a raw-line shuffle join"),
+        ("ReadSchema: struct<doc_id:bigint,text:string>", True,
+         "documents scan pruned to the 2 needed columns"),
+    ],
 }
 
 

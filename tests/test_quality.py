@@ -1,0 +1,102 @@
+"""Repetition quality signals + corpus-level line dedup
+(operators/quality.py) — edge cases the driver corpus can't exercise.
+
+The oracle compare (tests/test_retired_queries.py-style, via the driver
+registry) pins the full-corpus values; these tests pin the operator
+semantics directly: tie-breaks, empty/single-word guards, trailing-line
+preservation, idempotence, and the docs-with-every-line-boilerplate case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from no_fasel_scrapers_spark.operators.quality import (
+    line_dedup,
+    with_repetition_stats,
+)
+
+
+def _rep(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = with_repetition_stats(df).orderBy("doc_id").collect()
+    return out
+
+
+def test_repetition_empty_and_single_word(spark):
+    rows = _rep(spark, ["", "   ", "solo"])
+    for r in rows[:2]:
+        assert r.n_words == 0
+        assert r.dup_word_frac == 0.0
+        assert r.top_word is None
+        assert r.top_word_frac == 0.0
+        assert r.top_2gram is None and r.top_2gram_frac == 0.0
+    solo = rows[2]
+    assert solo.n_words == 1
+    assert solo.top_word == "solo" and solo.top_word_frac == 1.0
+    assert solo.top_2gram is None  # no 2-grams from one word
+    assert solo.dup_2gram_frac == 0.0
+
+
+def test_repetition_tie_breaks_lexicographically(spark):
+    (r,) = _rep(spark, ["b a b a"])
+    # a and b both occur twice; the smaller word wins
+    assert r.top_word == "a" and r.top_word_frac == 0.5
+    # grams: [b a, a b, b a] → top is "b a" at 2/3
+    assert r.top_2gram == "b a"
+    assert abs(r.top_2gram_frac - 2 / 3) < 1e-12
+    assert abs(r.dup_2gram_frac - 1 / 3) < 1e-12
+
+
+def test_repetition_maximal(spark):
+    (r,) = _rep(spark, ["x x x x"])
+    assert r.dup_word_frac == 0.75
+    assert r.top_word_frac == 1.0
+    assert r.top_2gram == "x x" and r.top_2gram_frac == 1.0
+    assert abs(r.dup_2gram_frac - 2 / 3) < 1e-12
+
+
+def test_line_dedup_removes_boilerplate_keeps_structure(spark):
+    docs = [
+        (1, "boiler\nkeep one\n\ntail"),
+        (2, "boiler\nkeep two"),
+        (3, "boiler\nkeep three\n"),
+        (4, "boiler"),
+        (5, "pair\nkeep five"),
+        (6, "pair\nkeep six"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in line_dedup(df, max_docs=2).collect()
+    }
+    assert len(out) == 6  # every doc survives, even if emptied
+    # 'boiler' is in 4 > 2 docs → removed everywhere
+    assert out[1].text == "keep one\n\ntail" and out[1].n_removed == 1
+    assert out[2].text == "keep two"
+    # trailing empty line is structure: preserved byte-exact
+    assert out[3].text == "keep three\n" and out[3].n_lines == 3
+    assert out[4].text == "" and out[4].n_removed == 1
+    # 'pair' is in exactly max_docs docs → kept
+    assert out[5].text == "pair\nkeep five" and out[5].n_removed == 0
+    assert out[6].n_removed == 0
+
+
+def test_line_dedup_idempotent_on_clean_corpus(spark):
+    docs = [(i, f"unique {i}\nalso unique {i}") for i in range(8)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = line_dedup(df, max_docs=2)
+    joined = out.alias("o").join(df.alias("d"), "doc_id").filter(
+        F.col("o.text") != F.col("d.text")
+    )
+    assert joined.count() == 0
+    assert out.agg(F.sum("n_removed")).first()[0] == 0
+
+
+def test_repetition_plan_is_narrow(spark):
+    """Zero shuffle: the signals are a pure map over the corpus."""
+    df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
+    plan = with_repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

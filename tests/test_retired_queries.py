@@ -6,6 +6,8 @@ Retired (see __spark_entry__.queries() docstring):
 - ngram_jaccard      (verify stage runs inside minhash_dedup/near_dup_groups)
 - events_hourly      (identical semantics to events_hourly_stream)
 - cosine_pairs_exact (subsumed by embedding_near_dup_recall's truth side)
+- ann_bruteforce     (exact top-k is ivf_recall's oracle-checked truth side)
+- chunk_documents    (runs inside the oracle-checked training_prep capstone)
 """
 
 import os
@@ -50,7 +52,8 @@ def test_registry_is_exactly_50_with_crawl_e2e_last():
 
 
 @pytest.mark.parametrize("name", ["ngram_jaccard", "events_hourly",
-                                  "cosine_pairs_exact"])
+                                  "cosine_pairs_exact", "ann_bruteforce",
+                                  "chunk_documents"])
 def test_retired_query_matches_oracle(spark, con, name):
     sdf = E.retired_queries()[name](spark, SF_DIR).toPandas()
     odf = con.execute(E.retired_oracle_sql()[name]).df()
