@@ -553,6 +553,10 @@ def main() -> None:
             exact_dedup,
             minhash_dedup,
         )
+        from no_fasel_scrapers_spark.operators.quality import (
+            line_dedup,
+            with_repetition_stats,
+        )
         from no_fasel_scrapers_spark.operators.textstats import (
             with_text_stats,
         )
@@ -575,6 +579,8 @@ def main() -> None:
             "minhash_dedup": lambda: minhash_dedup(docs),
             "decontaminate": lambda: decontaminate(docs, test),
             "text_stats": lambda: with_text_stats(docs),
+            "repetition_stats": lambda: with_repetition_stats(docs),
+            "line_dedup": lambda: line_dedup(docs),
             "vocab_top_terms": lambda: vocab_top_terms(docs, k=100),
         }
         secs: dict[str, float] = {}
