@@ -9,6 +9,7 @@ preservation, idempotence, and the docs-with-every-line-boilerplate case.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from no_fasel_scrapers_spark.operators.quality import (
@@ -16,17 +17,20 @@ from no_fasel_scrapers_spark.operators.quality import (
     with_repetition_stats,
 )
 
+IMPLS = ["arrow", "column"]
 
-def _rep(spark, texts):
+
+def _rep(spark, texts, impl="arrow"):
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
     )
-    out = with_repetition_stats(df).orderBy("doc_id").collect()
+    out = with_repetition_stats(df, impl=impl).orderBy("doc_id").collect()
     return out
 
 
-def test_repetition_empty_and_single_word(spark):
-    rows = _rep(spark, ["", "   ", "solo"])
+@pytest.mark.parametrize("impl", IMPLS)
+def test_repetition_empty_and_single_word(spark, impl):
+    rows = _rep(spark, ["", "   ", "solo"], impl)
     for r in rows[:2]:
         assert r.n_words == 0
         assert r.dup_word_frac == 0.0
@@ -40,8 +44,9 @@ def test_repetition_empty_and_single_word(spark):
     assert solo.dup_2gram_frac == 0.0
 
 
-def test_repetition_tie_breaks_lexicographically(spark):
-    (r,) = _rep(spark, ["b a b a"])
+@pytest.mark.parametrize("impl", IMPLS)
+def test_repetition_tie_breaks_lexicographically(spark, impl):
+    (r,) = _rep(spark, ["b a b a"], impl)
     # a and b both occur twice; the smaller word wins
     assert r.top_word == "a" and r.top_word_frac == 0.5
     # grams: [b a, a b, b a] → top is "b a" at 2/3
@@ -50,12 +55,41 @@ def test_repetition_tie_breaks_lexicographically(spark):
     assert abs(r.dup_2gram_frac - 1 / 3) < 1e-12
 
 
-def test_repetition_maximal(spark):
-    (r,) = _rep(spark, ["x x x x"])
+@pytest.mark.parametrize("impl", IMPLS)
+def test_repetition_maximal(spark, impl):
+    (r,) = _rep(spark, ["x x x x"], impl)
     assert r.dup_word_frac == 0.75
     assert r.top_word_frac == 1.0
     assert r.top_2gram == "x x" and r.top_2gram_frac == 1.0
     assert abs(r.dup_2gram_frac - 2 / 3) < 1e-12
+
+
+def test_repetition_impls_identical_on_corpus(spark):
+    """The Arrow scale path and the JVM columnar path must agree
+    byte-for-byte — probes (ties, unicode, whitespace) + a corpus
+    sample.  Unicode whitespace (\\u00a0) must NOT split tokens (the
+    Java-regex-\\s contract; Python str.split would diverge here)."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(200)
+    probes = spark.createDataFrame(
+        [
+            (10**9 + 1, ""),
+            (10**9 + 2, "b a b a"),
+            (10**9 + 3, "x\u00a0y x\u00a0y z"),  # nbsp not a splitter
+            (10**9 + 4, "مرحبا hello مرحبا مرحبا hello"),
+            (10**9 + 5, "  padded   spaces  "),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.unionByName(probes)
+    a = with_repetition_stats(d, impl="arrow").orderBy("doc_id").collect()
+    c = with_repetition_stats(d, impl="column").orderBy("doc_id").collect()
+    assert len(a) == len(c) == 205
+    for ra, rc in zip(a, c):
+        assert ra == rc, f"impl divergence at doc_id={ra.doc_id}"
+    nbsp = next(r for r in a if r.doc_id == 10**9 + 3)
+    assert nbsp.n_words == 3 and nbsp.top_word == "x\u00a0y"
 
 
 def test_line_dedup_removes_boilerplate_keeps_structure(spark):
