@@ -803,12 +803,18 @@ _REP_PROBE_ROWS = [
     (9100002, "solo"),                  # 1 word → no 2-grams
     (9100003, "b a b a"),               # a/b tie at 2 → 'a' wins
     (9100004, "x x x x"),               # maximal repetition → fracs 1.0
-    (9100005, "  padded   spaces  "),   # \s+ split + trim parity
+    (9100005, "  padded   spaces  "),   # \s+ split + edge-empty parity
     (9100006, "مرحبا مرحبا hello"),     # unicode binary-sort parity
+    (9100007, "\ta b\n"),               # leading tab / trailing newline:
+                                        # maximal-run tokens, no '' token
+    (9100008, "\t \n"),                 # whitespace-only → n_words 0
+    (9100009, None),                    # NULL text counts as empty
 ]
 
 _REP_PROBE_SQL = "SELECT * FROM (VALUES " + ", ".join(
-    f"(CAST({i} AS BIGINT), '{t}')" for i, t in _REP_PROBE_ROWS
+    f"(CAST({i} AS BIGINT), "
+    + ("CAST(NULL AS VARCHAR)" if t is None else f"'{t}'") + ")"
+    for i, t in _REP_PROBE_ROWS
 ) + ") AS probe(doc_id, text)"
 
 
@@ -846,11 +852,14 @@ _LINE_PROBE_ROWS = [
     (9200002, "subscribe now\nunique beta\nrare line"),
     (9200003, "subscribe now\nunique gamma\n"),
     (9200004, "subscribe now"),
+    (9200005, None),  # NULL text → survives as '' (never dropped)
 ]
 
 
 def _line_probe_sql() -> str:
-    def lit(t: str) -> str:
+    def lit(t) -> str:
+        if t is None:
+            return "CAST(NULL AS VARCHAR)"
         return " || chr(10) || ".join(
             "'" + p.replace("'", "''") + "'" for p in t.split("\n")
         )
@@ -2149,14 +2158,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text FROM documents
                 UNION ALL {_REP_PROBE_SQL}
             ), w AS (
+                -- a token is a maximal non-whitespace run: split on \\s+
+                -- and drop empties (they can only appear at the edges) —
+                -- matches BOTH engine impls incl. leading/trailing tabs,
+                -- whitespace-only, and NULL text
                 SELECT doc_id, generate_subscripts(ws, 1) AS ord,
                        unnest(ws) AS w
                 FROM (
                     SELECT doc_id,
-                           CASE WHEN trim(text) = ''
-                                THEN CAST([] AS VARCHAR[])
-                                ELSE string_split_regex(trim(text), '\\s+')
-                           END AS ws
+                           list_filter(
+                               string_split_regex(coalesce(text, ''),
+                                                  '\\s+'),
+                               x -> x <> '') AS ws
                     FROM d
                 )
             ), wc AS (
@@ -2216,7 +2229,9 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, generate_subscripts(ls, 1) AS pos,
                        unnest(ls) AS line
                 FROM (
-                    SELECT doc_id, string_split(text, chr(10)) AS ls FROM d
+                    SELECT doc_id,
+                           string_split(coalesce(text, ''), chr(10)) AS ls
+                    FROM d
                 )
             ), boiler AS (
                 SELECT line FROM l

@@ -28,7 +28,7 @@ Modes:
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_BENCH_PAGES (default 120000),
+     SPARK_GRAFT_BENCH_PAGES (default 1000000),
      SPARK_GRAFT_SCALE_LEVELS (e.g. "16,4"), SPARK_GRAFT_SCALE_TRIALS,
      SPARK_GRAFT_SCALE_RUNS (min-of-N per level, extract lane),
      SPARK_GRAFT_SCALE_CONTROL=0 to skip the no-engine control.
@@ -374,9 +374,19 @@ def _scaling_payload(metric: str, pairs: list[dict], hi_lo: list[int],
 
 
 def _scale_levels() -> list[int]:
+    """[hi, lo] — normalized so 'SPARK_GRAFT_SCALE_LEVELS=4,16' and
+    '16,4' mean the same pair (unnormalized, a swapped pair would
+    silently report a ~(hi/lo)²-inflated efficiency; the control script
+    already normalizes with min/max)."""
     levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "")
     if levels:
-        return [int(x) for x in levels.split(",")]
+        vals = [int(x) for x in levels.split(",")]
+        if len(vals) != 2 or vals[0] == vals[1]:
+            raise SystemExit(
+                f"SPARK_GRAFT_SCALE_LEVELS needs two distinct levels: "
+                f"{levels!r}"
+            )
+        return [max(vals), min(vals)]
     return [CPUS, max(CPUS // 4, 1)]
 
 
@@ -583,7 +593,25 @@ def main() -> None:
             "repetition_stats_columnar": lambda: with_repetition_stats(
                 docs, impl="column"
             ),
-            "line_dedup": lambda: line_dedup(docs),
+            # gen_docs texts are single-line and all-distinct, which
+            # would make line_dedup a no-op removal over 1 line/doc;
+            # reshape to ~8-word lines and plant shared boilerplate
+            # (header everywhere + footer per id%7 class) so the
+            # measured number covers the real fan-out, a populated
+            # removal set, and actual removals
+            "line_dedup": lambda: line_dedup(
+                docs.withColumn(
+                    "text",
+                    F.concat(
+                        F.lit("follow us on social media\n"),
+                        F.regexp_replace(
+                            F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n"
+                        ),
+                        F.lit("\ncopyright footer "),
+                        (F.col("doc_id") % 7).cast("string"),
+                    ),
+                )
+            ),
             "vocab_top_terms": lambda: vocab_top_terms(docs, k=100),
         }
         secs: dict[str, float] = {}

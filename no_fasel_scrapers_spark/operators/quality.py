@@ -36,8 +36,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from no_fasel_scrapers_spark.operators.textstats import ws_tokens
-
 
 def _top_run(sorted_arr: Column) -> Column:
     """struct(best, best_val): longest run in a sorted array = count and
@@ -109,13 +107,17 @@ def with_repetition_stats(
       fold), zero Python — keeps the whole plan JVM-side where a
       Python worker pool is unavailable or undesirable.
 
-    Parity notes (why the two can be byte-identical): tokens are
-    maximal runs of non-``[ \\t\\n\\x0b\\f\\r]`` — exactly Java/DuckDB
-    ``trim`` + ``split('\\s+')``, NOT Python ``str.split()`` whose
-    Unicode whitespace set is wider; tie-breaks take the minimum
-    string, and UTF-8 byte order (Spark's binary sort) equals Unicode
-    code-point order (Python ``min``), so both sides agree on every
-    valid string.
+    Parity notes (why the two ARE byte-identical): a token is a maximal
+    run of non-``[ \\t\\n\\x0b\\f\\r]`` characters — on the column side
+    ``split('\\s+')`` + drop-empties (split's empty strings can only
+    appear at the edges, so filtering them equals the maximal-run
+    definition, including for leading/trailing tabs and whitespace-only
+    text, where ``trim``-based tokenization would diverge), on the
+    Python side ``re.findall`` of the same class — NOT Python
+    ``str.split()``, whose Unicode whitespace set is wider; NULL text
+    counts as empty in both; tie-breaks take the minimum string, and
+    UTF-8 byte order (Spark's binary sort) equals Unicode code-point
+    order (Python ``min``), so both sides agree on every valid string.
     """
     if impl == "arrow":
         return _repetition_stats_arrow(df, text_col)
@@ -129,8 +131,12 @@ def with_repetition_stats(
     # sf0.1).  CollapseProject keeps these stages separate exactly
     # because the producing expressions are non-cheap and multiply
     # referenced.
+    tokens = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+        lambda x: x != "",
+    )
     stage = (
-        df.withColumn("_rep_w", ws_tokens(F.col(text_col)))
+        df.withColumn("_rep_w", tokens)
         .withColumn("_rep_g", word_2grams(F.col("_rep_w")))
         .withColumn("_rep_tw", _top_run(F.array_sort(F.col("_rep_w"))))
         .withColumn("_rep_tg", _top_run(F.array_sort(F.col("_rep_g"))))
@@ -184,7 +190,9 @@ def _rep_signals_pdf(texts) -> dict:
         "dup_2gram_frac", "top_2gram", "top_2gram_frac",
     )}
     for text in texts:
-        w = tok.findall(text) if text else []
+        # isinstance guard: Arrow NULL strings arrive as None (object
+        # dtype) but a float NaN would be truthy — treat both as empty
+        w = tok.findall(text) if isinstance(text, str) else []
         n = len(w)
         cols["n_words"].append(n)
         if n == 0:
@@ -239,9 +247,11 @@ def line_dedup(
 
     Returns one row per input document: ``(id_col, text, n_lines,
     n_removed)`` with ``text`` rebuilt from the surviving lines in
-    original order ('' when every line was boilerplate).  Lines compare
-    byte-exact; ``split(text, '\\n', -1)`` keeps trailing empties so the
-    round trip is loss-free for kept lines.
+    original order ('' when every line was boilerplate).  NULL text is
+    treated as '' (the document survives — a curation pass must never
+    silently drop rows).  Lines compare byte-exact; ``split(text,
+    '\\n', -1)`` keeps trailing empties so the round trip is loss-free
+    for kept lines.
 
     Plan shape (the 100-TB question): one partial-agg shuffle over
     distinct lines to build the removal set, which is then LEFT-joined
@@ -251,7 +261,7 @@ def line_dedup(
     the raw line key for the join, so a mega-hot boilerplate line skews
     only the count aggregation, where map-side combine absorbs it.
     """
-    lines = F.split(F.col(text_col), "\n", -1)
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n", -1)
     exploded = df.select(
         F.col(id_col), F.posexplode(lines).alias("pos", "line")
     )

@@ -69,6 +69,15 @@ def test_scale_levels_env_override(monkeypatch) -> None:
     importlib.reload(bench)
     try:
         assert bench._scale_levels() == [16, 4]
+        # ascending input normalizes to [hi, lo] — a swapped pair must
+        # not silently invert the efficiency ratio
+        monkeypatch.setenv("SPARK_GRAFT_SCALE_LEVELS", "4,16")
+        assert bench._scale_levels() == [16, 4]
+        monkeypatch.setenv("SPARK_GRAFT_SCALE_LEVELS", "8,8")
+        import pytest
+
+        with pytest.raises(SystemExit):
+            bench._scale_levels()
         monkeypatch.delenv("SPARK_GRAFT_SCALE_LEVELS")
         assert bench._scale_levels() == [bench.CPUS, bench.CPUS // 4]
     finally:

@@ -9,6 +9,8 @@ preservation, idempotence, and the docs-with-every-line-boilerplate case.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -66,11 +68,17 @@ def test_repetition_maximal(spark, impl):
 
 def test_repetition_impls_identical_on_corpus(spark):
     """The Arrow scale path and the JVM columnar path must agree
-    byte-for-byte — probes (ties, unicode, whitespace) + a corpus
-    sample.  Unicode whitespace (\\u00a0) must NOT split tokens (the
-    Java-regex-\\s contract; Python str.split would diverge here)."""
+    byte-for-byte — probes (ties, unicode, edge whitespace, NULL) + a
+    corpus sample.  Unicode whitespace (nbsp) must NOT split tokens
+    (the Java-regex whitespace contract; Python str.split would
+    diverge), and leading/trailing tabs must NOT produce empty tokens
+    (a trim-based column tokenizer diverged here — caught by review,
+    pinned since)."""
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
     docs = spark.read.parquet(
-        "/root/testdata/sf0.001/documents.parquet"
+        f"{sf_dir}/documents.parquet"
     ).select("doc_id", "text").limit(200)
     probes = spark.createDataFrame(
         [
@@ -79,17 +87,26 @@ def test_repetition_impls_identical_on_corpus(spark):
             (10**9 + 3, "x\u00a0y x\u00a0y z"),  # nbsp not a splitter
             (10**9 + 4, "مرحبا hello مرحبا مرحبا hello"),
             (10**9 + 5, "  padded   spaces  "),
+            (10**9 + 6, "\ta b\n"),   # edge tabs/newlines: no '' token
+            (10**9 + 7, "\t \n"),     # whitespace-only → 0 words
+            (10**9 + 8, None),        # NULL text counts as empty
         ],
         "doc_id long, text string",
     )
     d = docs.unionByName(probes)
     a = with_repetition_stats(d, impl="arrow").orderBy("doc_id").collect()
     c = with_repetition_stats(d, impl="column").orderBy("doc_id").collect()
-    assert len(a) == len(c) == 205
+    assert len(a) == len(c) == 208
     for ra, rc in zip(a, c):
         assert ra == rc, f"impl divergence at doc_id={ra.doc_id}"
     nbsp = next(r for r in a if r.doc_id == 10**9 + 3)
     assert nbsp.n_words == 3 and nbsp.top_word == "x\u00a0y"
+    tab = next(r for r in a if r.doc_id == 10**9 + 6)
+    assert tab.n_words == 2 and tab.top_word == "a"
+    for pid in (10**9 + 7, 10**9 + 8):
+        r = next(r for r in a if r.doc_id == pid)
+        assert r.n_words == 0 and r.top_word is None
+        assert r.dup_word_frac == 0.0
 
 
 def test_line_dedup_removes_boilerplate_keeps_structure(spark):
@@ -100,13 +117,15 @@ def test_line_dedup_removes_boilerplate_keeps_structure(spark):
         (4, "boiler"),
         (5, "pair\nkeep five"),
         (6, "pair\nkeep six"),
+        (7, None),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = {
         r.doc_id: r
         for r in line_dedup(df, max_docs=2).collect()
     }
-    assert len(out) == 6  # every doc survives, even if emptied
+    assert len(out) == 7  # every doc survives, even if emptied or NULL
+    assert out[7].text == "" and out[7].n_removed == 0  # NULL → ''
     # 'boiler' is in 4 > 2 docs → removed everywhere
     assert out[1].text == "keep one\n\ntail" and out[1].n_removed == 1
     assert out[2].text == "keep two"
