@@ -757,6 +757,11 @@ _SCRIPT_PROBE_ROWS = [
     (9000005, "xyzzy plugh قط abcd"),                  # ar < latin → latin-other
     (9000006, "٣٤٥ ٦٧٨"),                              # Arabic-Indic digits → ar
     (9000007, "你好 مرحبا"),                            # ar AND han: ar wins (branch order)
+    (9000008, "the cat sat\n"),       # trailing newline: 3 tokens, not
+                                      # 3 + a phantom '' (ws_tokens fix)
+    (9000009, "a\x0bb the fox on"),   # \x0b IS whitespace in Java \s but
+                                      # NOT in RE2 \s — oracle uses the
+                                      # explicit class so both split it
 ]
 
 _SCRIPT_PROBE_SQL = "SELECT * FROM (VALUES " + ", ".join(
@@ -809,6 +814,8 @@ _REP_PROBE_ROWS = [
                                         # maximal-run tokens, no '' token
     (9100008, "\t \n"),                 # whitespace-only → n_words 0
     (9100009, None),                    # NULL text counts as empty
+    (9100010, "a\x0bb c a"),            # \x0b is Java-\s whitespace but
+                                        # not RE2-\s — both sides split it
 ]
 
 _REP_PROBE_SQL = "SELECT * FROM (VALUES " + ", ".join(
@@ -1743,19 +1750,27 @@ def oracle_sql() -> dict[str, str]:
             FROM nation WHERE n_nationkey % 5 = 0
         """,
         "training_prep": f"""
-            WITH t AS (
+            WITH tk AS (
                 SELECT doc_id, text,
-                       CAST(len(list_filter(
-                            string_split_regex(lower(trim(text)), '\\s+'),
+                       list_filter(
+                           string_split_regex(coalesce(text, ''),
+                                              '[ \\t\\n\\x0b\\f\\r]+'),
+                           x -> x <> '') AS toks
+                FROM ({_DOCS_WITH_PROBES_SQL})
+            ), t AS (
+                SELECT doc_id, text,
+                       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                       CAST(len(list_filter(list_transform(toks, x -> lower(x)),
                             x -> x IN ('the','a','an','and','or','of','to',
                                        'in','is','it','for','on','with','as',
                                        'at','by','be','this','that','from')))
                             AS DOUBLE)
-                       / len(string_split_regex(trim(text), '\\s+')) AS stop,
-                       CAST(len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s]'))
+                       / len(toks) END AS stop,
+                       CAST(len(regexp_extract_all(text,
+                            '[^\\p{{L}}\\p{{N}}_ \\t\\n\\x0b\\f\\r]'))
                             AS DOUBLE) / length(text) AS punct,
                        CAST(length(text) AS DOUBLE) AS n
-                FROM ({_DOCS_WITH_PROBES_SQL})
+                FROM tk
             ), scored AS (
                 SELECT doc_id, text,
                        least(n / 500.0, 1.0) * 0.4
@@ -1774,8 +1789,12 @@ def oracle_sql() -> dict[str, str]:
                     FROM kept
                 ) WHERE rn = 1
             ), toks AS (
+                -- chunker twin keeps trim+split (incl. edge empties, as
+                -- the engine chunker does) but with the EXPLICIT Java-\\s
+                -- class so \\x0b splits on both sides
                 SELECT doc_id,
-                       string_split_regex(trim(text), '\\s+') AS tk
+                       string_split_regex(trim(text),
+                                          '[ \\t\\n\\x0b\\f\\r]+') AS tk
                 FROM ded WHERE text IS NOT NULL AND trim(text) <> ''
             ), c AS (
                 SELECT doc_id, tk,
@@ -2113,18 +2132,28 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "text_stats": f"""
-            WITH t AS (
+            WITH tk AS (
+                -- ws_tokens twin: maximal non-whitespace runs; explicit
+                -- Java-\\s class because RE2's \\s excludes \\x0b
                 SELECT doc_id, text,
-                       CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens_ws,
-                       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_tokens_bpe,
-                       CAST(len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_\\s]')) AS DOUBLE) / length(text) AS punct,
-                       CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                       list_filter(
+                           string_split_regex(coalesce(text, ''),
+                                              '[ \\t\\n\\x0b\\f\\r]+'),
+                           x -> x <> '') AS toks
+                FROM ({_DOCS_WITH_PROBES_SQL})
+            ), t AS (
+                SELECT doc_id, text,
+                       CAST(len(toks) AS INTEGER) AS n_tokens_ws,
+                       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0b\\f\\r]')) AS INTEGER) AS n_tokens_bpe,
+                       CAST(len(regexp_extract_all(text, '[^\\p{{L}}\\p{{N}}_ \\t\\n\\x0b\\f\\r]')) AS DOUBLE) / length(text) AS punct,
+                       CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+                       CAST(len(list_filter(list_transform(toks, x -> lower(x)),
                             x -> x IN ('the','a','an','and','or','of','to','in','is','it','for',
                                        'on','with','as','at','by','be','this','that','from')))
                             AS DOUBLE)
-                       / len(string_split_regex(trim(text), '\\s+')) AS stop,
+                       / len(toks) END AS stop,
                        CAST(length(text) AS DOUBLE) AS n
-                FROM ({_DOCS_WITH_PROBES_SQL})
+                FROM tk
             )
             SELECT doc_id, n_tokens_ws, n_tokens_bpe,
                    round(punct, 9) AS punct_r,
@@ -2158,17 +2187,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, text FROM documents
                 UNION ALL {_REP_PROBE_SQL}
             ), w AS (
-                -- a token is a maximal non-whitespace run: split on \\s+
-                -- and drop empties (they can only appear at the edges) —
+                -- a token is a maximal non-whitespace run: split on the
+                -- EXPLICIT Java-\\s class (RE2's \\s excludes \\x0b) and
+                -- drop empties (they can only appear at the edges) —
                 -- matches BOTH engine impls incl. leading/trailing tabs,
-                -- whitespace-only, and NULL text
+                -- \\x0b, whitespace-only, and NULL text
                 SELECT doc_id, generate_subscripts(ws, 1) AS ord,
                        unnest(ws) AS w
                 FROM (
                     SELECT doc_id,
                            list_filter(
                                string_split_regex(coalesce(text, ''),
-                                                  '\\s+'),
+                                                  '[ \\t\\n\\x0b\\f\\r]+'),
                                x -> x <> '') AS ws
                     FROM d
                 )

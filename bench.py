@@ -380,11 +380,14 @@ def _scale_levels() -> list[int]:
     already normalizes with min/max)."""
     levels = os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "")
     if levels:
-        vals = [int(x) for x in levels.split(",")]
-        if len(vals) != 2 or vals[0] == vals[1]:
+        try:
+            vals = [int(x) for x in levels.split(",")]
+        except ValueError:
+            vals = []
+        if len(vals) != 2 or vals[0] == vals[1] or min(vals) < 1:
             raise SystemExit(
-                f"SPARK_GRAFT_SCALE_LEVELS needs two distinct levels: "
-                f"{levels!r}"
+                f"SPARK_GRAFT_SCALE_LEVELS needs two distinct positive "
+                f"levels, e.g. '16,4': {levels!r}"
             )
         return [max(vals), min(vals)]
     return [CPUS, max(CPUS // 4, 1)]
@@ -532,11 +535,11 @@ def main() -> None:
         # crawl per level per trial (each run is minutes long and the
         # wave loop repeats its own code paths, so JIT amortizes in-run;
         # the fixture warm-up inside --crawl-once covers the cold start).
+        hi_lo = _scale_levels()  # validate BEFORE the expensive site gen
         spark = _crawl_spark(CPUS)
         prepare_site(spark)
         spark.stop()
 
-        hi_lo = _scale_levels()
         trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
         control = os.environ.get("SPARK_GRAFT_SCALE_CONTROL", "1") != "0"
         pairs = _paired_trials("--crawl-once", hi_lo, trials, control)
@@ -643,11 +646,11 @@ def main() -> None:
         # (pinned CPU sets, interleaved trials, paired-median estimator,
         # in-protocol no-engine hardware control) documented on
         # _paired_trials.
+        hi_lo = _scale_levels()  # validate BEFORE the 3M-page table gen
         spark = _spark(CPUS)
         prepare_pages(spark, pages_path, N_PAGES)
         spark.stop()
 
-        hi_lo = _scale_levels()
         trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "5"))
         control = os.environ.get("SPARK_GRAFT_SCALE_CONTROL", "1") != "0"
         pairs = _paired_trials("--extract-once", hi_lo, trials, control)

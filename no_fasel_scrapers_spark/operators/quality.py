@@ -97,9 +97,10 @@ def with_repetition_stats(
     DuckDB oracle checks the default):
 
     - ``impl="arrow"`` (default, the 100-TB path): ``mapInPandas`` with
-      a ``collections.Counter`` per document — measured 9× faster than
-      the columnar fold at 1M docs (4.0 s vs 36.1 s on local[32],
-      ~4 µs/doc) because Spark's higher-order functions evaluate
+      a ``collections.Counter`` per document — measured 5-9× faster
+      than the columnar fold at 1M docs (6.9-8.1 s vs 33-36 s on
+      local[32] in the recorded lane runs; a 4.0 s best was observed on
+      a calm box) because Spark's higher-order functions evaluate
       interpreted, outside codegen, where a tight C-backed counter
       loop beats expression-tree walking.  Still a zero-shuffle narrow
       map; Arrow batches amortize the Python boundary.

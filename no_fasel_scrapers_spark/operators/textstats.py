@@ -21,10 +21,20 @@ BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
 
 
 def ws_tokens(text: Column) -> Column:
-    """Whitespace tokens (empty string → [])."""
-    t = F.trim(text)
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(
-        F.split(t, r"\s+")
+    """Whitespace tokens as maximal non-whitespace runs (empty/NULL → []).
+
+    split('\\s+') can emit empty strings only at the string edges, so
+    split + drop-empties equals the maximal-run definition.  The old
+    trim-based version miscounted docs with leading/trailing
+    tabs/newlines (Spark ``trim`` strips spaces only — 'hello world\\n'
+    tokenized to 3 with a phantom ''), which inflated n_tokens_ws and
+    deflated stopword_ratio for exactly the trailing-newline shape web
+    text has.  Oracle twin: ``list_filter(string_split_regex(...,
+    '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')`` — the class is written out
+    because DuckDB's RE2 ``\\s`` excludes \\x0b while Java's includes it.
+    """
+    return F.filter(
+        F.split(F.coalesce(text, F.lit("")), r"\s+"), lambda t: t != ""
     )
 
 

@@ -241,10 +241,15 @@ def test_text_stats_oracle(spark):
         (1, "عنوان عربي بالكامل"),
         (2, "xyzzy plugh abcd efgh ijkl"),
         (3, "你好世界 спасибо"),
+        (4, "hello world\n"),   # trailing newline: 2 tokens, no phantom ''
+        (5, "\t \n"),           # whitespace-only: 0 tokens (trim-based
+                                # ws_tokens miscounted both — review fix)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r for r in with_text_stats(df).collect()}
 
+    assert got[4].n_tokens_ws == 2
+    assert got[5].n_tokens_ws == 0 and got[5].stopword_ratio == 0.0
     assert got[0].n_tokens_ws == 7
     assert got[0].punct_ratio == pytest.approx(2 / 34)  # ',' and '!'
     assert got[0].stopword_ratio == pytest.approx(2 / 7)  # 'The'→the, 'the'
