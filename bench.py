@@ -585,6 +585,30 @@ def main() -> None:
                 "overwrite"
             ).parquet(docs_path)
         docs = spark.read.parquet(docs_path)
+        # gen_docs texts are single-line and all-distinct, which would
+        # make line_dedup a no-op removal over 1 line/doc; reshape to
+        # ~8-word lines (~10 lines/doc) and plant shared boilerplate
+        # (header everywhere + footer per id%7 class) so the measured
+        # number covers the real fan-out, a populated removal set, and
+        # actual removals.  Written to parquet ONCE, outside the timed
+        # region — Spark is lazy, and reshaping inside the timed lambda
+        # would charge a full-corpus regex pass to the operator.
+        mldocs_path = os.path.join(
+            tempfile.gettempdir(), f"nfs_bench_mldocs_{n_docs}"
+        )
+        if not os.path.exists(os.path.join(mldocs_path, "_SUCCESS")):
+            docs.withColumn(
+                "text",
+                F.concat(
+                    F.lit("follow us on social media\n"),
+                    F.regexp_replace(
+                        F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n"
+                    ),
+                    F.lit("\ncopyright footer "),
+                    (F.col("doc_id") % 7).cast("string"),
+                ),
+            ).write.mode("overwrite").parquet(mldocs_path)
+        mldocs = spark.read.parquet(mldocs_path)
         # a small in-corpus test set: every 997th doc → real contamination
         test = docs.filter(F.col("doc_id") % 997 == 0).select("doc_id", "text")
         ops = {
@@ -596,25 +620,7 @@ def main() -> None:
             "repetition_stats_columnar": lambda: with_repetition_stats(
                 docs, impl="column"
             ),
-            # gen_docs texts are single-line and all-distinct, which
-            # would make line_dedup a no-op removal over 1 line/doc;
-            # reshape to ~8-word lines and plant shared boilerplate
-            # (header everywhere + footer per id%7 class) so the
-            # measured number covers the real fan-out, a populated
-            # removal set, and actual removals
-            "line_dedup": lambda: line_dedup(
-                docs.withColumn(
-                    "text",
-                    F.concat(
-                        F.lit("follow us on social media\n"),
-                        F.regexp_replace(
-                            F.col("text"), r"((?:\S+ ){7}\S+) ", "$1\n"
-                        ),
-                        F.lit("\ncopyright footer "),
-                        (F.col("doc_id") % 7).cast("string"),
-                    ),
-                )
-            ),
+            "line_dedup": lambda: line_dedup(mldocs),
             "vocab_top_terms": lambda: vocab_top_terms(docs, k=100),
         }
         secs: dict[str, float] = {}

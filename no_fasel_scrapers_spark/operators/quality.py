@@ -11,8 +11,8 @@ High Quality Monolingual Datasets from Web Crawl Data", Wenzek et al.
     most-frequent word / 2-gram and their coverage fractions).  Entirely
     narrow — zero shuffle; at 100 TB this is a pure map over the corpus.
     Two byte-identical implementations (``impl=``): the default Arrow
-    ``mapInPandas`` scale path and a pure-JVM columnar fold (see the
-    function docstring for the measured 9× and why).  Gopher defines the
+    ``mapInPandas`` path and a pure-JVM columnar fold, at measured
+    parity since the codegen tokenizer fix (function docstring).  Gopher defines the
     n-gram signals over *characters*; here they are word-count fractions
     (documented divergence — equally monotone in repetitiveness,
     cheaper, and exactly oracle-able).
@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from no_fasel_scrapers_spark.operators.textstats import ws_tokens
 
 
 def _top_run(sorted_arr: Column) -> Column:
@@ -96,17 +98,20 @@ def with_repetition_stats(
     tests/test_quality.py on probes + a corpus sample; the driver's
     DuckDB oracle checks the default):
 
-    - ``impl="arrow"`` (default, the 100-TB path): ``mapInPandas`` with
-      a ``collections.Counter`` per document — measured 5-9× faster
-      than the columnar fold at 1M docs (6.9-8.1 s vs 33-36 s on
-      local[32] in the recorded lane runs; a 4.0 s best was observed on
-      a calm box) because Spark's higher-order functions evaluate
-      interpreted, outside codegen, where a tight C-backed counter
-      loop beats expression-tree walking.  Still a zero-shuffle narrow
-      map; Arrow batches amortize the Python boundary.
+    - ``impl="arrow"`` (default): ``mapInPandas`` with a
+      ``collections.Counter`` per document — a zero-shuffle narrow map
+      with Arrow-batched transfer, and the natural home for richer
+      per-doc logic later.
     - ``impl="column"``: pure Spark built-ins (arrays + sorted-run
       fold), zero Python — keeps the whole plan JVM-side where a
       Python worker pool is unavailable or undesirable.
+
+    Measured at 1M docs the two are at PARITY within box noise (8.07 s
+    column vs 8.02 s arrow in the same lane run) — but only after the
+    tokenizer moved to codegen-able ``array_remove``; with a
+    higher-order ``F.filter`` tokenizer the column path ran 33-36 s
+    (interpreted eval), which is the trap to remember (BENCH.md
+    optimization log #17/#19/#20).
 
     Parity notes (why the two ARE byte-identical): a token is a maximal
     run of non-``[ \\t\\n\\x0b\\f\\r]`` characters — on the column side
@@ -132,12 +137,8 @@ def with_repetition_stats(
     # sf0.1).  CollapseProject keeps these stages separate exactly
     # because the producing expressions are non-cheap and multiply
     # referenced.
-    tokens = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
-        lambda x: x != "",
-    )
     stage = (
-        df.withColumn("_rep_w", tokens)
+        df.withColumn("_rep_w", ws_tokens(F.col(text_col)))
         .withColumn("_rep_g", word_2grams(F.col("_rep_w")))
         .withColumn("_rep_tw", _top_run(F.array_sort(F.col("_rep_w"))))
         .withColumn("_rep_tg", _top_run(F.array_sort(F.col("_rep_g"))))

@@ -32,9 +32,15 @@ def ws_tokens(text: Column) -> Column:
     text has.  Oracle twin: ``list_filter(string_split_regex(...,
     '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')`` — the class is written out
     because DuckDB's RE2 ``\\s`` excludes \\x0b while Java's includes it.
+
+    ``array_remove(..., '')`` rather than ``F.filter``: split's empties
+    are exactly the elements equal to '', and array_remove stays inside
+    whole-stage codegen where a higher-order filter would drop the whole
+    expression tree to interpreted eval (this helper runs 4× per row in
+    with_text_stats).
     """
-    return F.filter(
-        F.split(F.coalesce(text, F.lit("")), r"\s+"), lambda t: t != ""
+    return F.array_remove(
+        F.split(F.coalesce(text, F.lit("")), r"\s+"), ""
     )
 
 

@@ -79,6 +79,8 @@ def test_scale_levels_env_override(monkeypatch) -> None:
         with pytest.raises(SystemExit):
             bench._scale_levels()
         monkeypatch.delenv("SPARK_GRAFT_SCALE_LEVELS")
-        assert bench._scale_levels() == [bench.CPUS, bench.CPUS // 4]
+        assert bench._scale_levels() == [
+            bench.CPUS, max(bench.CPUS // 4, 1)
+        ]
     finally:
         importlib.reload(bench)
