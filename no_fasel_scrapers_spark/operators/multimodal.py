@@ -307,3 +307,103 @@ def resize_stub(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + ", resized binary"
     return df.mapInPandas(_run, schema=schema)
+
+
+# Fake video container (tests/bench only — the video analog of MAGIC):
+# NFSV | u16 w | u16 h | u8 channels | u16 n_frames | u8 fps | raw frames
+VIDEO_MAGIC = b"NFSV"
+_VIDEO_HDR = "<HHBHB"
+_VIDEO_HDR_LEN = 4 + struct.calcsize(_VIDEO_HDR)
+
+
+def fake_video_encode(
+    width: int, height: int, channels: int, n_frames: int, seed: int,
+    fps: int = 24,
+) -> bytes:
+    """Deterministic fake video payload; frame i's pixels reuse the
+    fake-image PRNG with seed+i, so any frame is reconstructible."""
+    frames = b"".join(
+        fake_encode(width, height, channels, seed + i)[9:]  # raw body
+        for i in range(n_frames)
+    )
+    return VIDEO_MAGIC + struct.pack(
+        _VIDEO_HDR, width, height, channels, n_frames, fps
+    ) + frames
+
+
+def video_header(payload: bytes) -> dict | None:
+    if payload is None or len(payload) < _VIDEO_HDR_LEN \
+            or payload[:4] != VIDEO_MAGIC:
+        return None
+    w, h, c, n, fps = struct.unpack(
+        _VIDEO_HDR, payload[4:_VIDEO_HDR_LEN]
+    )
+    return {"width": w, "height": h, "channels": c,
+            "n_frames": n, "fps": fps}
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    stride: int = 2,
+    max_frames: int | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame (indices 0,
+    stride, 2·stride, …, capped at ``max_frames``), each frame emitted
+    as a REAL standalone PNG (the stdlib encoder) so downstream image
+    operators (metadata/features/resize) consume it unchanged.
+
+    This is the UDF shape of a real video pipeline — binary in →
+    exploded typed rows out (pass-through columns + ``frame_idx`` +
+    ``ts_ms`` from the container fps + ``frame`` binary), numpy per
+    Arrow batch, zero shuffle.  Real containers (mp4/h264) need
+    PyAV/ffmpeg, absent in this sandbox: with ``strict`` (default) a
+    non-NFSV payload raises ``NotImplementedError`` (the honest seam,
+    same convention as ``_decode_image_real``); ``strict=False`` skips
+    such rows for pipelines that prefer dropping to failing.  NULL
+    payloads yield no frames either way.
+    """
+    cols = df.columns
+
+    def _run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {c: [] for c in cols}
+            rows.update(frame_idx=[], ts_ms=[], frame=[])
+            for rec in pdf.itertuples(index=False):
+                payload = getattr(rec, payload_col)
+                hdr = video_header(payload)
+                if hdr is None:
+                    if payload is None:
+                        continue
+                    if not strict:
+                        continue
+                    raise NotImplementedError(
+                        "real video containers need PyAV/ffmpeg (absent "
+                        "here); fake_video_encode payloads sample for "
+                        "real, or pass strict=False to skip unknowns"
+                    )
+                w, h, c = hdr["width"], hdr["height"], hdr["channels"]
+                frame_bytes = w * h * c
+                idxs = range(0, hdr["n_frames"], stride)
+                if max_frames is not None:
+                    idxs = list(idxs)[:max_frames]
+                for i in idxs:
+                    start = _VIDEO_HDR_LEN + i * frame_bytes
+                    arr = np.frombuffer(
+                        payload, dtype=np.uint8, count=frame_bytes,
+                        offset=start,
+                    ).reshape(h, w, c)
+                    for col in cols:
+                        rows[col].append(getattr(rec, col))
+                    rows["frame_idx"].append(i)
+                    rows["ts_ms"].append(
+                        int(i * 1000 / hdr["fps"]) if hdr["fps"] else 0
+                    )
+                    rows["frame"].append(png_encode(arr))
+            yield pd.DataFrame(rows, columns=cols + ["frame_idx", "ts_ms", "frame"])
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", frame_idx int, ts_ms long, frame binary"
+    return df.mapInPandas(_run, schema=schema)

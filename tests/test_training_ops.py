@@ -312,6 +312,60 @@ def test_real_decode_is_stubbed():
         _decode_image_real(b"\xff\xd8\xff")
 
 
+def test_frame_sample_explodes_to_real_pngs(spark):
+    import numpy as np
+
+    from no_fasel_scrapers_spark.operators.multimodal import (
+        fake_encode,
+        fake_video_encode,
+        png_decode,
+        sample_frames,
+        video_header,
+    )
+
+    vids = [
+        (0, fake_video_encode(12, 6, 3, n_frames=7, seed=100, fps=24)),
+        (1, fake_video_encode(8, 8, 1, n_frames=3, seed=7, fps=10)),
+        (2, None),  # NULL payload → zero frames, row just disappears
+    ]
+    df = spark.createDataFrame(vids, "media_id long, payload binary")
+    out = sample_frames(df, stride=2).collect()
+
+    # stride 2: video 0 samples frames 0,2,4,6; video 1 samples 0,2
+    by_vid = {}
+    for r in out:
+        by_vid.setdefault(r.media_id, []).append(r)
+    assert sorted(r.frame_idx for r in by_vid[0]) == [0, 2, 4, 6]
+    assert sorted(r.frame_idx for r in by_vid[1]) == [0, 2]
+    assert 2 not in by_vid
+
+    # ts from the container fps (24 fps → frame 6 at 250 ms)
+    ts = {r.frame_idx: r.ts_ms for r in by_vid[0]}
+    assert ts[0] == 0 and ts[6] == 250
+
+    # each frame is a REAL standalone PNG whose pixels equal the fake
+    # codec's deterministic body for seed+frame_idx
+    frame2 = next(r for r in by_vid[0] if r.frame_idx == 2)
+    arr = png_decode(bytes(frame2.frame))
+    expected = np.frombuffer(
+        fake_encode(12, 6, 3, seed=102)[9:], dtype=np.uint8
+    ).reshape(6, 12, 3)
+    assert np.array_equal(arr, expected)
+
+    # max_frames caps the per-video sample count
+    capped = sample_frames(df, stride=1, max_frames=2).collect()
+    assert sorted(r.frame_idx for r in capped if r.media_id == 0) == [0, 1]
+
+    # header parse + honest seam for real containers
+    assert video_header(vids[0][1])["n_frames"] == 7
+    bad = spark.createDataFrame(
+        [(9, b"\x00\x00\x00 ftypmp42")], "media_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="PyAV|ffmpeg|NotImplemented"):
+        sample_frames(bad).collect()
+    assert sample_frames(bad, strict=False).count() == 0
+
+
 # ---------------------------------------------------------------------------
 # document chunking (operators/chunking.py)
 # ---------------------------------------------------------------------------
