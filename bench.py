@@ -373,6 +373,19 @@ def _scaling_payload(metric: str, pairs: list[dict], hi_lo: list[int],
     return payload
 
 
+def _emit(payload: dict) -> None:
+    """Print the lane's one-line JSON; with ``--out FILE`` also write it
+    to FILE so scaling evidence lands in a committed machine-readable
+    artifact (VERDICT r3 #7: SCALING_r4.json) instead of only BENCH.md
+    prose."""
+    line = json.dumps(payload)
+    print(line)
+    if "--out" in sys.argv:
+        path = sys.argv[sys.argv.index("--out") + 1]
+        with open(path, "w") as f:
+            f.write(line + "\n")
+
+
 def _scale_levels() -> list[int]:
     """[hi, lo] — normalized so 'SPARK_GRAFT_SCALE_LEVELS=4,16' and
     '16,4' mean the same pair (unnormalized, a swapped pair would
@@ -391,6 +404,44 @@ def _scale_levels() -> list[int]:
             )
         return [max(vals), min(vals)]
     return [CPUS, max(CPUS // 4, 1)]
+
+
+def _control_reading() -> dict:
+    """In-protocol no-engine control for the DEFAULT lane (VERDICT r3 #1).
+
+    Runs scripts/scaling_control.py at the bench's own CPU count — the
+    same pure pinned-Python extraction loop the scaling lane uses as its
+    hardware ceiling — and returns its throughput, sampled minutes from
+    the headline measurement.  Recorded in the default lane's JSON line so
+    a degraded box is self-evident in the artifact: compare
+    ``control_pages_per_sec`` against the calm-box reference in BASELINE.md
+    — if the control is down 25%, the engine headline being down 25% is
+    the box, not a regression.  Disable with SPARK_GRAFT_SCALE_CONTROL=0.
+    """
+    import subprocess
+
+    if os.environ.get("SPARK_GRAFT_SCALE_CONTROL", "1") == "0":
+        return {}
+    cmd = [
+        sys.executable,
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scripts", "scaling_control.py"),
+        str(CPUS),
+    ]
+    env = dict(os.environ, SPARK_GRAFT_SCALE_TRIALS="1")
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, env=env, check=True,
+            timeout=900,
+        )
+        lvl = json.loads(out.stdout.strip().splitlines()[-1])
+        lvl = lvl["levels"][str(CPUS)]
+        return {
+            "control_pages_per_sec": lvl["total_pages_per_sec"],
+            "control_pages_per_sec_per_core": lvl["pages_per_sec_per_core"],
+        }
+    except Exception as e:  # the control is evidence, never a gate
+        return {"control_error": str(e)[:200]}
 
 
 def run_queries(spark) -> dict[str, float]:
@@ -548,7 +599,7 @@ def main() -> None:
             n_items=pairs[0].get("pages", N_PAGES), control=control,
             extra={"n_pages": N_PAGES},
         )
-        print(json.dumps(payload))
+        _emit(payload)
         return
 
     if "--training-scale" in sys.argv:
@@ -664,16 +715,25 @@ def main() -> None:
             "scaling_efficiency", pairs, hi_lo, n_items=N_PAGES,
             control=control, extra={"n_pages": N_PAGES},
         )
-        print(json.dumps(payload))
+        _emit(payload)
         return
+
+    # No-engine control FIRST (before the JVM exists): the box-state
+    # reading that contextualizes the headline (VERDICT r3 #1)
+    control = _control_reading()
 
     spark = _spark(CPUS)
     prepare_pages(spark, pages_path, N_PAGES)
 
     bench_extract(spark, pages_path, N_PAGES)  # warmup: JIT + worker spawn
-    # min of 2 measured runs: host-level noisy-neighbor variance on this
-    # sandbox VM is ±10-50%; min is the least-contended estimate
-    extract_sec = min(bench_extract(spark, pages_path, N_PAGES) for _ in range(2))
+    # min of 3 measured runs (same rigor as the scaling lane's
+    # --extract-once, SPARK_GRAFT_SCALE_RUNS): this shared-KVM host shows
+    # transient 30-40% slowdowns lasting under a minute, and a min-of-2
+    # single-day reading moved the recorded headline 25% in round 3
+    runs = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+    extract_sec = min(
+        bench_extract(spark, pages_path, N_PAGES) for _ in range(runs)
+    )
     crawl_sec, crawl_pages = bench_crawl(spark)  # warm + min-of-2 inside
     queries = run_queries(spark)
 
@@ -689,6 +749,8 @@ def main() -> None:
         "queries": queries,
         "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
         "pages_per_sec": round(N_PAGES / extract_sec, 1),
+        "extract_runs": runs,
+        **control,
         "n_pages": N_PAGES,
         "crawl_fixture_pages": crawl_pages,
         "cpus": CPUS,

@@ -41,7 +41,13 @@ def _frontier_key_cols(n_salts: int):
     so the same objects re-apply to any DataFrame with a ``url`` column.
     Building them costs ~100 py4j roundtrips (the canonicalization tree is
     deep); the crawl loop calls this every wave, so caching removes a
-    measurable slice of per-wave driver latency."""
+    measurable slice of per-wave driver latency.
+
+    Single-gateway assumption (ADVICE r3): the cached Columns hold py4j
+    ``_jc`` refs into the process-wide JVM gateway, which classic local
+    ``getOrCreate`` never recycles in-process.  Under Spark Connect or a
+    relaunched gateway the refs would go stale — call
+    ``_frontier_key_cols.cache_clear()`` after any gateway restart."""
     canon = canonicalize_url(F.col("url"))
     h = F.xxhash64(canon)
     return (

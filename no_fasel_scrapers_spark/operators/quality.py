@@ -253,7 +253,9 @@ def line_dedup(
     treated as '' (the document survives — a curation pass must never
     silently drop rows).  Lines compare byte-exact; ``split(text,
     '\\n', -1)`` keeps trailing empties so the round trip is loss-free
-    for kept lines.
+    for kept lines.  Empty and whitespace-only lines (full ASCII
+    whitespace class, not just spaces) are never removed, so document
+    structure survives even when blank separators are corpus-universal.
 
     Plan shape (the 100-TB question): one partial-agg shuffle over
     distinct lines to build the removal set, which is then LEFT-joined
@@ -267,8 +269,14 @@ def line_dedup(
     exploded = df.select(
         F.col(id_col), F.posexplode(lines).alias("pos", "line")
     )
+    # whitespace-ONLY lines are never removal candidates, under the full
+    # whitespace class — Spark's trim strips ASCII spaces only, which would
+    # let a shared tab-only line be removed (ADVICE r3); \n cannot appear
+    # inside a line (we split on it), so the class omits it
     removal = (
-        exploded.filter(F.trim(F.col("line")) != "")
+        exploded.filter(
+            F.regexp_replace(F.col("line"), r"[ \t\x0b\f\r]", "") != ""
+        )
         .groupBy("line")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
         .filter(F.col("n_docs") > max_docs)

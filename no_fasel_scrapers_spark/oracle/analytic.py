@@ -699,3 +699,43 @@ def ivf_recall_sql(sf: str | None = None) -> str:
          ("n_true", "BIGINT"), ("recall_r", "DOUBLE"),
          ("scan_frac_r", "DOUBLE")],
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl_e2e — the whole crawl loop, pinned at value level
+# ---------------------------------------------------------------------------
+
+def crawl_e2e_rows():
+    """Per-(wave, site, role) rollup of the single-threaded Python crawl
+    oracle (plans/oracle_crawler.py) over the deterministic synthetic-site
+    fixture — the same independent scheduler the ordering/seen-set tests
+    compare against (tests/test_crawl.py), lifted into the driver-visible
+    correctness gate (VERDICT r3 #2).  Counts and UTF-8 text byte sums per
+    group pin wave membership, robots gating, dedup, pagination expansion
+    AND extracted text at value level; the engine side must reproduce all
+    of it at any parallelism to hash-match."""
+    from ..plans.oracle_crawler import crawl_oracle
+    from ..sources.fixture import Fixture, FixtureConfig
+
+    fx = Fixture(FixtureConfig())
+    pages = {p["url"]: p["html"] for p in fx.pages}
+    res = crawl_oracle(pages, fx.seeds, fx.robots)
+    agg: dict[tuple, tuple[int, int]] = {}
+    for e in res.extracted:
+        key = (e["wave"], e["site"], e["role"])
+        n, b = agg.get(key, (0, 0))
+        t = e.get("text") or ""
+        agg[key] = (n + 1, b + len(t.encode("utf-8")))
+    return [
+        (w, s, r, n, b)
+        for (w, s, r), (n, b) in sorted(agg.items())
+    ]
+
+
+def crawl_e2e_sql(sf: str | None = None) -> str:
+    rows = crawl_e2e_rows()
+    return values_sql(
+        rows,
+        [("wave", "INTEGER"), ("site", "VARCHAR"), ("role", "VARCHAR"),
+         ("n_pages", "BIGINT"), ("text_bytes", "BIGINT")],
+    )

@@ -179,6 +179,11 @@ def run_crawl(
 
     if frontier is None:
         frontier = seeds_to_frontier(seeds, n_salts)
+    # Whether the CALLER handed us a seen set: the wave-0 dedup-skip below
+    # must never fire in that case, even when lineage says seen_count == 0 —
+    # lineage counts are absent for direct callers, so emptiness cannot be
+    # inferred from them (ADVICE r3).
+    caller_seen = seen is not None
     if seen is None:
         seen = _empty_seen(spark)
         if seen_prior is not None:
@@ -361,7 +366,10 @@ def run_crawl(
         bounded_wave = (
             wave_budget is not None and wave_budget <= 50_000_000
         ) or (frontier_rows is not None and frontier_rows <= 5_000_000)
-        if seen_count == 0 and wave_no == 0 and seen_prior is None:
+        if (
+            seen_count == 0 and wave_no == 0 and seen_prior is None
+            and not caller_seen
+        ):
             # truly-fresh first wave: the seen set is empty, the anti-join
             # is the identity — skip its broadcast build + probe stages
             fresh = allowed

