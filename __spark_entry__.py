@@ -1023,6 +1023,78 @@ def q_events_hourly_stream(spark, sf_dir):
     return spark.table(name)
 
 
+# Streaming-dedup probe rows: NULL text (own null-safe group), empty
+# text (distinct from NULL), and an exact duplicate pair — written as a
+# second parquet file into the stream source dir so the file stream sees
+# more than one input file.
+_STREAM_DEDUP_PROBE_ROWS = [
+    (9400001, None),
+    (9400002, ""),
+    (9400003, "stream dedup probe text"),
+    (9400004, "stream dedup probe text"),
+]
+
+
+def _stream_dedup_probe_sql() -> str:
+    parts = []
+    for _i, t in _STREAM_DEDUP_PROBE_ROWS:
+        if t is None:
+            parts.append("(CAST(NULL AS VARCHAR))")
+        else:
+            parts.append("('" + t.replace("'", "''") + "')")
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(parts) + ") AS probe(text)"
+    )
+
+
+def q_exact_dedup_stream(spark, sf_dir):
+    """Streaming twin of ``exact_dedup`` (streaming/ingest.py): file-source
+    stream over the documents parquet + probe file, synthetic event time,
+    watermarked ``dropDuplicatesWithinWatermark`` on the text fingerprint,
+    availableNow drain to a memory sink.  The drained fingerprint set must
+    equal the batch DISTINCT — survivor doc choice is arrival-dependent in
+    a stream, so the driver-visible columns are the deterministic ones
+    (fingerprint + text length)."""
+    import os
+    import shutil as _sh
+    import tempfile
+    import uuid
+
+    from no_fasel_scrapers_spark.streaming.ingest import (
+        exact_dedup_stream,
+        run_stream_to_sink,
+    )
+
+    src = tempfile.mkdtemp(prefix="nfs_stream_docs_")
+    _sh.copy(os.path.join(sf_dir, "documents.parquet"), src)
+    spark.createDataFrame(
+        _STREAM_DEDUP_PROBE_ROWS, "doc_id long, text string"
+    ).coalesce(1).write.mode("append").parquet(src)
+    ddl = "doc_id bigint, text string"
+    docs = (
+        spark.readStream.schema(ddl).parquet(src)
+        # watermark needs an event-time column; documents carry none, so
+        # derive one deterministically.  Offset well past epoch 0: the
+        # state store's initial watermark is 0, and a row whose event
+        # time EQUALS the watermark is judged late and dropped (doc_id 0
+        # vanished without the offset)
+        .withColumn(
+            "ts",
+            F.timestamp_seconds(F.pmod("doc_id", F.lit(3600)) + F.lit(86400)),
+        )
+    )
+    ded = exact_dedup_stream(docs)
+    name = "dedupstream_" + uuid.uuid4().hex[:8]
+    q = run_stream_to_sink(
+        ded,
+        checkpoint=tempfile.mkdtemp(prefix="nfs_stream_ckpt_"),
+        query_name=name,
+        output_mode="append",
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def q_media_metadata(spark, sf_dir):
     """Multimodal plumbing: binary payload → typed metadata struct.
 
@@ -1604,6 +1676,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       side of ``ivf_recall`` (same brute_force_topk call);
     - ``chunk_documents`` — the chunker runs inside the oracle-checked
       ``training_prep`` capstone (per-chunk md5 pins its output).
+
+    One more retired in round 4 to make room for the streaming dedup twin
+    (``exact_dedup_stream`` — closes the batch/streaming asymmetry for the
+    corpus operators):
+
+    - ``intersect_keys`` — plain built-in ``INTERSECT``, no engine code of
+      its own; stays oracle-pinned in tests/test_retired_queries.py.
     """
     return {
         "pricing_summary": q_pricing_summary,
@@ -1620,7 +1699,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "title_cleanups": q_title_cleanups,
         "normalized_title_join": q_normalized_title_join,
         "rollup_status_priority": q_rollup_status_priority,
-        "intersect_keys": q_intersect_keys,
         "sessionize_events": q_sessionize_events,
         "trending_id_join": q_trending_id_join,
         "genre_scrub_prune": q_genre_scrub_prune,
@@ -1640,6 +1718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "training_prep": q_training_prep,
         "exact_dedup": q_exact_dedup,
+        "exact_dedup_stream": q_exact_dedup_stream,
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
         "line_dedup": q_line_dedup,
@@ -1672,6 +1751,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs_exact": q_cosine_pairs_exact,
         "ann_bruteforce": q_ann_bruteforce,
         "chunk_documents": q_chunk_documents,
+        "intersect_keys": q_intersect_keys,
     }
 
 
@@ -2124,10 +2204,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,
-        "intersect_keys": """
-            SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
-            INTERSECT
-            SELECT l_orderkey FROM lineitem
+        "exact_dedup_stream": f"""
+            SELECT DISTINCT md5(text) AS text_md5,
+                   CAST(length(text) AS INTEGER) AS text_len
+            FROM (
+                SELECT text FROM documents
+                UNION ALL {_stream_dedup_probe_sql()}
+            )
         """,
         "sessionize_events": """
             WITH marked AS (
@@ -2410,6 +2493,11 @@ def retired_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for ``retired_queries()`` — kept green by
     tests/test_retired_queries.py (same compare as the driver's gate)."""
     return {
+        "intersect_keys": """
+            SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
+            INTERSECT
+            SELECT l_orderkey FROM lineitem
+        """,
         "ngram_jaccard": """
             WITH g AS (
                 SELECT doc_id,

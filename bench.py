@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "seen_filter_dedup",
     "politeness_schedule",
     "exact_dedup",
+    "exact_dedup_stream",
     "text_stats",
     "repetition_stats",
     "line_dedup",

@@ -83,6 +83,34 @@ def dedup_stream(pages: DataFrame, horizon: str = "2 hours") -> DataFrame:
     return keyed.dropDuplicatesWithinWatermark(["url_hash"])
 
 
+def exact_dedup_stream(
+    docs: DataFrame,
+    horizon: str = "2 hours",
+    text_col: str = "text",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of ``operators/dedup.exact_dedup``: drop later
+    sightings of an already-seen text fingerprint within the watermark
+    horizon (``dropDuplicatesWithinWatermark``).
+
+    State is one entry per distinct fingerprint inside the horizon —
+    never the text itself — and entries age out with the watermark, so
+    state stays bounded regardless of stream length (the 10^10-doc
+    shape).  Survivor CHOICE is arrival order (a stream cannot keep the
+    min-id survivor without total-ordering the stream), so the emitted
+    deterministic surface is the fingerprint set itself, which equals
+    batch ``exact_dedup``'s key set exactly once the stream drains;
+    NULL text fingerprints to NULL and forms its own group, matching the
+    batch operator's null-safe grouping.
+    """
+    keyed = docs.withColumn("text_md5", F.md5(F.col(text_col)))
+    keyed = keyed.withWatermark(ts_col, horizon)
+    ded = keyed.dropDuplicatesWithinWatermark(["text_md5"])
+    return ded.select(
+        "text_md5", F.length(F.col(text_col)).alias("text_len")
+    )
+
+
 def hourly_lang_rollup(pages: DataFrame, lateness: str = "1 hour") -> DataFrame:
     """Tumbling 1h window per lang; late data beyond watermark dropped."""
     return (

@@ -51,7 +51,7 @@ def test_registry_is_exactly_50_and_fully_oracle_checked():
 
 @pytest.mark.parametrize("name", ["ngram_jaccard", "events_hourly",
                                   "cosine_pairs_exact", "ann_bruteforce",
-                                  "chunk_documents"])
+                                  "chunk_documents", "intersect_keys"])
 def test_retired_query_matches_oracle(spark, con, name):
     sdf = E.retired_queries()[name](spark, SF_DIR).toPandas()
     odf = con.execute(E.retired_oracle_sql()[name]).df()
