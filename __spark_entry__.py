@@ -1476,11 +1476,17 @@ def q_media_features(spark, sf_dir):
     Every 5th doc carries a REAL PNG payload (stdlib encoder, gray /
     gray+alpha / RGB by doc_id) — the feature path runs the real inflate +
     unfilter decode for those rows, and the oracle's arithmetic pixel twin
-    only matches if the PNG roundtrip is bit-exact.  Remaining rows use
-    the fake codec."""
+    only matches if the PNG roundtrip is bit-exact.  Docs with
+    doc_id % 5 == 1 carry a REAL baseline JPEG (operators/jpeg.py): a
+    block-constant grayscale image at unit quant, whose 8×8 blocks are
+    DC-only with integer DC — encode→decode is bit-exact by construction
+    (jpeg.py module docstring), so the arithmetic twin predicts the
+    decoded pixels while the engine walks the real marker / Huffman /
+    dequant / IDCT path.  Remaining rows use the fake codec."""
     import numpy as np
     import pandas as pd
 
+    from no_fasel_scrapers_spark.operators.jpeg import jpeg_encode
     from no_fasel_scrapers_spark.operators.multimodal import (
         extract_features,
         fake_encode,
@@ -1491,8 +1497,22 @@ def q_media_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
 
     def _payload(i: int) -> bytes:
-        w, h = 16 + i % 16, 8 + i % 8
         seed = i % 251
+        if i % 5 == 1:
+            w, h = 16 + 8 * (i % 3), 8 + 8 * (i % 2)
+            bw, bh = w // 8, h // 8
+            vals = (
+                (
+                    np.arange(bw * bh, dtype=np.uint32)
+                    * np.uint32(2654435761)
+                    + np.uint32(seed)
+                ) >> 24
+            ).astype(np.uint8)
+            img = np.kron(
+                vals.reshape(bh, bw), np.ones((8, 8), dtype=np.uint8)
+            ).astype(np.uint8)
+            return jpeg_encode(img, quant=1)
+        w, h = 16 + i % 16, 8 + i % 8
         if i % 5 == 0:
             c = 1 + i % 3
             n = w * h * c

@@ -2,18 +2,21 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested.  Two codecs decode for real in-sandbox:
+signatures) is real and tested.  Three codecs decode for real in-sandbox:
 
 - **PNG** — a stdlib-only (zlib + struct) decoder: chunk walk, IHDR parse,
   IDAT inflate, full scanline unfiltering (filter types 0-4 incl. Paeth)
   for 8-bit gray / gray+alpha / RGB / RGBA.  ``_decode_image_real`` returns
   the pixel array; ``png_encode`` writes spec-compliant files for fixtures.
+- **JPEG** — a stdlib+numpy baseline-DCT codec (``operators/jpeg.py``):
+  marker walk, canonical Huffman, dequant + IDCT, chroma upsampling.
+  Baseline sequential (SOF0) decodes for real; progressive/arithmetic
+  honestly raise (``jpeg_header`` still reads their dimensions).
 - the deterministic **fake codec** (``fake_encode``) used where a real
   format would add nothing to the plumbing under test.
 
-JPEG/audio/video decode requires libs not present in this container and
-stays stubbed behind ``_decode_image_real`` (PIL import → clear
-``NotImplementedError``).
+Audio and real video containers require libs not present in this container
+and stay stubbed behind clear ``NotImplementedError`` seams.
 
 Batch shape: ``mapInPandas`` with binary columns yields ``bytes`` objects
 per cell; numpy does the per-batch work.  Partitioning: media tables should
@@ -32,8 +35,15 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from no_fasel_scrapers_spark.operators.jpeg import (
+    jpeg_decode,
+    jpeg_encode,
+    jpeg_header,
+)
+
 MAGIC = b"NFSI"  # fake-codec magic: NFSI | u16 w | u16 h | u8 channels | raw
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
+JPEG_SIG = b"\xff\xd8"
 
 META_SCHEMA = "width int, height int, channels int, n_bytes long, codec string"
 
@@ -212,17 +222,21 @@ def png_decode(payload: bytes) -> np.ndarray:
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Real codec path: stdlib PNG decode in-sandbox; other formats need
-    PIL/libjpeg (absent in this container → NotImplementedError)."""
+    """Real codec path: stdlib PNG + baseline JPEG decode in-sandbox;
+    remaining formats (webp/gif/...) need PIL (absent in this container →
+    NotImplementedError).  Progressive/arithmetic JPEG raises from inside
+    jpeg_decode with its own honest message."""
     if payload is not None and payload.startswith(PNG_SIG):
         return png_decode(payload)
+    if payload is not None and payload.startswith(JPEG_SIG):
+        return jpeg_decode(payload)
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG image decode needs PIL/libjpeg; PNG decodes via the "
-            "stdlib path, other formats use the fake codec (fake_encode) "
-            "in this environment"
+            "non-PNG/JPEG image decode needs PIL; PNG and baseline JPEG "
+            "decode via the stdlib paths, other formats use the fake "
+            "codec (fake_encode) in this environment"
         ) from e
     raise NotImplementedError("real decode wiring lands with the codec libs")
 
@@ -231,6 +245,11 @@ def decode_header(payload: bytes) -> dict:
     png = png_header(payload) if payload is not None else None
     if png is not None:
         return {**png, "n_bytes": len(payload), "codec": "png"}
+    jpg = jpeg_header(payload) if payload is not None else None
+    if jpg is not None:
+        return {"width": jpg["width"], "height": jpg["height"],
+                "channels": jpg["channels"], "n_bytes": len(payload),
+                "codec": "jpeg"}
     if payload is None or len(payload) < 9 or payload[:4] != MAGIC:
         return {"width": None, "height": None, "channels": None,
                 "n_bytes": None if payload is None else len(payload),
@@ -248,6 +267,14 @@ def _pixel_bytes(payload: bytes) -> np.ndarray | None:
         try:
             return png_decode(payload).ravel()
         except ValueError:
+            return None
+    if payload.startswith(JPEG_SIG):
+        try:
+            return jpeg_decode(payload).ravel()
+        except (ValueError, NotImplementedError):
+            # malformed or progressive/arithmetic stream: feature rows go
+            # NULL rather than failing the batch (header-only metadata is
+            # still available upstream via decode_header)
             return None
     if len(payload) > 9 and payload[:4] == MAGIC:
         return np.frombuffer(payload, dtype=np.uint8, offset=9)
@@ -278,9 +305,10 @@ def extract_features(
     """Pixel-histogram feature vector per payload (the 'embedding' stand-in).
 
     Shape of a real feature extractor: binary in → fixed-length
-    array<float> out, numpy per batch.  PNG payloads run the REAL stdlib
-    decode (so the histogram is over decoded pixels, exercising the full
-    inflate+unfilter path); fake-codec payloads read their raw body."""
+    array<float> out, numpy per batch.  PNG and baseline-JPEG payloads run
+    the REAL stdlib decodes (the histogram is over decoded pixels,
+    exercising the full inflate+unfilter / Huffman+IDCT paths);
+    fake-codec payloads read their raw body."""
     cols = df.columns
 
     def _run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -308,8 +336,10 @@ def resize_stub(
     df: DataFrame, payload_col: str = "payload", width: int = 64, height: int = 64
 ) -> DataFrame:
     """Nearest-neighbor resize, payload-rewriting UDF shape (binary in →
-    binary out).  PNG in → PNG out (real decode + re-encode); fake codec
-    in → fake codec out; anything else → NULL."""
+    binary out).  PNG in → PNG out and baseline JPEG in → JPEG out (real
+    decode + re-encode; JPEG re-encodes 4:4:4 at unit quant so the resize
+    itself is the only loss); fake codec in → fake codec out; anything
+    else (incl. progressive JPEG) → NULL."""
     cols = df.columns
 
     def _run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -320,6 +350,12 @@ def resize_stub(
                 m = decode_header(p)
                 if m["codec"] == "png":
                     body = png_decode(p)
+                elif m["codec"] == "jpeg":
+                    try:
+                        body = jpeg_decode(p)
+                    except (ValueError, NotImplementedError):
+                        resized.append(None)
+                        continue
                 elif m["codec"] == "nfsi-fake":
                     body = np.frombuffer(p, dtype=np.uint8, offset=9).reshape(
                         m["height"], m["width"], m["channels"]
@@ -333,6 +369,11 @@ def resize_stub(
                 small = body[yi][:, xi]
                 if m["codec"] == "png":
                     resized.append(png_encode(small))
+                elif m["codec"] == "jpeg":
+                    sq = small[:, :, 0] if small.shape[2] == 1 else small
+                    resized.append(
+                        jpeg_encode(sq, quant=1, subsampling="4:4:4")
+                    )
                 else:
                     resized.append(
                         MAGIC

@@ -537,26 +537,42 @@ def doc_fingerprints_sql(sf: str | None = None) -> str:
 
 def media_features_rows(sf: str, n_bins: int = 16):
     """Mirror of q_media_features: every 5th doc is a REAL PNG payload
-    (channels 1 + doc_id % 3); the twin computes features from the
+    (channels 1 + doc_id % 3) and doc_id % 5 == 1 is a REAL baseline JPEG
+    (block-constant gray at unit quant — bit-exact by the DC-only
+    argument in operators/jpeg.py); the twin computes features from the
     arithmetic PIXELS directly — the Spark side only matches if its
-    stdlib PNG encode→inflate→unfilter roundtrip is bit-exact."""
+    stdlib PNG inflate→unfilter / JPEG Huffman→IDCT roundtrips are
+    bit-exact."""
     out = []
     for doc_id, _text, _lang in _docs(sf):
-        w, h = 16 + doc_id % 16, 8 + doc_id % 8
-        is_png = doc_id % 5 == 0
-        c = 1 + doc_id % 3 if is_png else 1
         seed = doc_id % 251
-        n = w * h * c
-        rng = (
-            np.arange(n, dtype=np.uint32) * np.uint32(2654435761)
-            + np.uint32(seed)
-        )
-        body = (rng >> 24).astype(np.uint8)
+        if doc_id % 5 == 1:
+            w, h = 16 + 8 * (doc_id % 3), 8 + 8 * (doc_id % 2)
+            nb = (w // 8) * (h // 8)
+            vals = (
+                (
+                    np.arange(nb, dtype=np.uint32) * np.uint32(2654435761)
+                    + np.uint32(seed)
+                ) >> 24
+            ).astype(np.uint8)
+            body = np.repeat(vals, 64)  # each block is 64 identical pixels
+            codec, c = "jpeg", 1
+        else:
+            w, h = 16 + doc_id % 16, 8 + doc_id % 8
+            is_png = doc_id % 5 == 0
+            c = 1 + doc_id % 3 if is_png else 1
+            n = w * h * c
+            rng = (
+                np.arange(n, dtype=np.uint32) * np.uint32(2654435761)
+                + np.uint32(seed)
+            )
+            body = (rng >> 24).astype(np.uint8)
+            codec = "png" if is_png else "nfsi-fake"
         hist, _ = np.histogram(body, bins=n_bins, range=(0, 256))
         total = hist.sum() or 1
         f0 = float(np.float32(hist[0] / total))
         out.append((
-            doc_id, "png" if is_png else "nfsi-fake", w, h, c, n_bins,
+            doc_id, codec, w, h, c, n_bins,
             _round_half_up(f0, 6),
         ))
     return out

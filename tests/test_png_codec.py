@@ -158,7 +158,9 @@ def test_real_decode_entry_point():
     img = _pixels(6, 6, 4)
     assert np.array_equal(_decode_image_real(png_encode(img)), img)
     with pytest.raises(NotImplementedError):
-        _decode_image_real(b"\xff\xd8\xff")  # JPEG still needs codec libs
+        # webp/gif/... still need PIL (JPEG now decodes for real —
+        # tests/test_jpeg_codec.py)
+        _decode_image_real(b"RIFF\x00\x00\x00\x00WEBP")
 
 
 def test_resize_png_payload(spark):

@@ -306,10 +306,12 @@ def test_resize_stub_dims(spark):
 
 
 def test_real_decode_is_stubbed():
+    # PNG and baseline JPEG decode for real (test_png_codec /
+    # test_jpeg_codec); the remaining formats stay honestly stubbed
     from no_fasel_scrapers_spark.operators.multimodal import _decode_image_real
 
     with pytest.raises(NotImplementedError):
-        _decode_image_real(b"\xff\xd8\xff")
+        _decode_image_real(b"RIFF\x00\x00\x00\x00WEBP")
 
 
 def test_frame_sample_explodes_to_real_pngs(spark):
