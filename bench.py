@@ -250,6 +250,10 @@ def crawl_site_run(spark, pages, cpus: int) -> tuple[float, int, int]:
             n_salts=max(cpus * 2, 8),
             expected_urls=max(2 * N_PAGES, 2_000_000),
             cache_pages=False,
+            # the generated site declares N/16 listing pages in one extent;
+            # keep the anti-absurd clamp above that or the crawl silently
+            # truncates (at 3M pages the 100k default cost 47% of the site)
+            max_pagination=max(N_PAGES // 8, 100_000),
         )
         n_extracted = res.extracted.count()
         return time.time() - t0, n_extracted, res.waves

@@ -166,6 +166,7 @@ def run_crawl(
     seen: DataFrame | None = None,
     lineage: list[dict] | None = None,
     cache_pages: bool = True,
+    max_pagination: int = 100_000,
 ) -> CrawlResult:
     pages_k = _prep_pages(pages)
     # The pages side is scanned once per wave.  Caching pays when the
@@ -549,9 +550,13 @@ def run_crawl(
         )
 
         # pagination expansion stays on executors (no probe collect): a wave
-        # discovering a million listing extents expands distributed
+        # discovering a million listing extents expands distributed.
+        # max_pagination is the anti-absurd-extent clamp — size it from the
+        # expected catalog extent (a 3M-item site declares 187,500 listing
+        # pages; the 100k default silently truncated it to 1.7M of 3.19M
+        # pages, round-4 measurement)
         pagination = expand_pagination_df(
-            wave_ex.select(*_probe_cols), n_salts
+            wave_ex.select(*_probe_cols), n_salts, max_pages=max_pagination
         )
 
         # ---- frontier pre-prune (wave-bounded; never shuffles seen) -----

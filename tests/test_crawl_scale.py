@@ -120,3 +120,37 @@ def test_bucketed_corpus_fetch_join_has_no_html_exchange(spark, tmp_path):
         assert "html" in scan_line  # html flows ONLY through the bucketed scan
     finally:
         spark.sql("DROP TABLE IF EXISTS t_fetch_bucketed")
+
+
+def test_max_pagination_clamp_is_configurable(spark):
+    """The anti-absurd-extent clamp must be liftable from run_crawl: at a
+    3M-item site the root declares 187,500 listing pages and the 100k
+    default silently truncated the crawl to 53% of the site (round-4
+    measurement).  Pin both directions: a tight clamp bounds the listing
+    wave, and raising it restores the full site."""
+    n_items, per = 60, 2  # 30 listing pages
+    pages = gen_site_pages(spark, n_items, per=per, partitions=4)
+    seeds = spark.createDataFrame(
+        [tuple(s.values()) for s in site_seed_rows()], SEEDS_DDL
+    )
+    robots = spark.createDataFrame([("fasel.test", [], 0)], ROBOTS_DDL)
+
+    clamped = run_crawl(
+        spark, pages, seeds, robots,
+        Catalog(tempfile.mkdtemp(prefix="nfs_clamp_")),
+        n_salts=8, max_pagination=10,
+    )
+    by_role = {
+        r["role"]: r["n"]
+        for r in clamped.extracted.groupBy("role").agg(
+            F.count("*").alias("n")).collect()
+    }
+    assert by_role["listing"] == 10 + 1          # root + pages 1..10
+    assert by_role["detail"] == 10 * per         # only their details
+
+    full = run_crawl(
+        spark, pages, seeds, robots,
+        Catalog(tempfile.mkdtemp(prefix="nfs_clamp_")),
+        n_salts=8, max_pagination=30,
+    )
+    assert full.extracted.filter(F.col("role") == "detail").count() == n_items
