@@ -11,7 +11,10 @@ wave; this operator is the scale path:
 2. candidate URLs probe the blobs inside ``mapInPandas`` (vectorized numpy,
    no per-row Python) — *bloom-negative rows are definitely new* and skip
    the expensive path entirely (the predicate-pushdown analog: cheap
-   membership before the join, SURVEY.md §4);
+   membership before the join, SURVEY.md §4).  Blobs reach the probe as a
+   Spark broadcast variable (≤512 MB of filter) or a shard cogroup (beyond),
+   NEVER as a joined-on column: attaching a blob to each row ships
+   O(rows × blob bytes) — measured superlinear on the 3M-page site crawl;
 3. only bloom-positive rows (true seen + fpp false positives) go through the
    exact ``left_anti`` join backstop, so correctness never depends on fpp.
 
@@ -21,7 +24,8 @@ and delete-doesn't-evict-live-keys semantics.
 
 Sizing: ``bits_per_key=10`` → ~1% fpp at design load; blob bytes per shard =
 ``n_expected/ n_shards * 10 / 8``.  For 10^10 keys and 4096 shards that is
-~3 MB/shard — within executor memory, shippable as a blob table join.
+~3 MB/shard — within executor memory, shipped once per task by the
+shard-cogroup probe path.
 """
 
 from __future__ import annotations
@@ -154,65 +158,137 @@ def merge_filter_blobs(a: DataFrame, b: DataFrame) -> DataFrame:
     return u.groupBy("shard").applyInPandas(_or, schema=BLOB_SCHEMA)
 
 
+# "auto" strategy cutover: collect + Spark-broadcast the whole filter up to
+# this many bytes (512 MB ≈ 4×10^8 keys at 10 bits/key); past that, the
+# shard-cogroup path keeps every blob off the driver.
+BROADCAST_MAX_BYTES = 512 << 20
+
+
+def _filter_bytes(blobs: DataFrame) -> int:
+    """Total filter size — an n_shards-row agg, one tiny job."""
+    row = blobs.agg(F.sum(F.length("bits")).alias("b")).collect()[0]
+    return int(row["b"] or 0)
+
+
+def _mark_with_blobs(
+    candidates: DataFrame,
+    blobs: DataFrame,
+    n_shards: int,
+    hash_col: str,
+    strategy: str,
+    probe_fn,
+) -> DataFrame:
+    """Shared probe plumbing for the bloom and cuckoo filters.
+
+    The one thing this must NEVER do is attach blob bytes to candidate
+    rows: a per-row join ships O(rows × blob) bytes through the join
+    output and the Arrow boundary — measured superlinear on the generated
+    3M-page site crawl (per-page core-ms tripled when the filter tripled;
+    ~700 GB of duplicated blob bytes in one wave).  Instead:
+
+    - ``broadcast``: the n_shards blob rows are collected once and shipped
+      as a Spark broadcast variable (one torrent copy per executor);
+      candidates stream through mapInPandas untouched — zero shuffle,
+      zero per-row blob bytes.
+    - ``cogroup``: candidates shuffle on shard and cogroup with the blob
+      table, so each task materializes its shard's blob exactly once.
+      The scale path once the whole filter outgrows a driver collect
+      (10^10 keys × 1.25 B ≈ 12.5 GB — size n_shards ≥ 4096 there so
+      per-task groups stay executor-memory-bounded).
+    - ``auto``: broadcast while the filter totals ≤ ``BROADCAST_MAX_BYTES``
+      (one n_shards-row agg job), else cogroup.
+
+    ``probe_fn(blob_bytes, m, k, hashes_u64) -> bool mask`` runs
+    vectorized numpy per batch/group; True = maybe present (no false
+    negatives).
+    """
+    if strategy == "auto":
+        strategy = (
+            "broadcast"
+            if _filter_bytes(blobs) <= BROADCAST_MAX_BYTES
+            else "cogroup"
+        )
+    if strategy not in ("broadcast", "cogroup"):
+        raise ValueError(f"unknown blob probe strategy: {strategy!r}")
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
+    ) + ", maybe_seen boolean"
+    cand_cols = [f.name for f in candidates.schema.fields]
+
+    if strategy == "broadcast":
+        shard_map = {
+            int(r["shard"]): (int(r["m"]), int(r["k"]), bytes(r["bits"]))
+            for r in blobs.select("shard", "m", "k", "bits").collect()
+        }
+        bc = candidates.sparkSession.sparkContext.broadcast(shard_map)
+
+        def _probe(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            tbl = bc.value
+            for pdf in batches:
+                res = pdf[cand_cols].copy()
+                maybe = np.zeros(len(pdf), dtype=bool)
+                if len(pdf):
+                    h64 = pdf[hash_col].to_numpy(dtype=np.int64)
+                    # numpy % with a positive modulus matches F.pmod
+                    shards = h64 % n_shards
+                    h = h64.astype(np.uint64)
+                    for s in np.unique(shards):
+                        ent = tbl.get(int(s))
+                        if ent is None:
+                            continue
+                        m, k, blob = ent
+                        idx = np.nonzero(shards == s)[0]
+                        maybe[idx] = probe_fn(blob, m, k, h[idx])
+                res["maybe_seen"] = maybe
+                yield res
+
+        return candidates.mapInPandas(_probe, schema=out_schema)
+
+    withshard = candidates.withColumn(
+        "__shard", F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int")
+    )
+
+    def _probe_grp(key, cand_pdf: pd.DataFrame, blob_pdf: pd.DataFrame):
+        res = cand_pdf[cand_cols].copy()
+        maybe = np.zeros(len(cand_pdf), dtype=bool)
+        if len(cand_pdf) and len(blob_pdf):
+            row = blob_pdf.iloc[0]
+            h = (
+                cand_pdf[hash_col]
+                .to_numpy(dtype=np.int64)
+                .astype(np.uint64)
+            )
+            maybe = probe_fn(
+                bytes(row["bits"]), int(row["m"]), int(row["k"]), h
+            )
+        res["maybe_seen"] = maybe
+        return res
+
+    return (
+        withshard.groupBy("__shard")
+        .cogroup(blobs.groupBy("shard"))
+        .applyInPandas(_probe_grp, schema=out_schema)
+    )
+
+
 def mark_maybe_seen(
     candidates: DataFrame,
     blobs: DataFrame,
     n_shards: int = 32,
     hash_col: str = "url_hash",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Attach ``maybe_seen`` to candidates by probing the bloom blobs.
 
-    Blob table is tiny relative to candidates → broadcast join on shard,
-    then a vectorized probe in mapInPandas.  Bloom-negative rows are
-    guaranteed-new; only maybe_seen rows need the exact backstop.
+    Bloom-negative rows are guaranteed-new; only maybe_seen rows need the
+    exact backstop.  See :func:`_mark_with_blobs` for why the blobs ship
+    via broadcast variable / shard cogroup, never a per-row join.
     """
-    withshard = candidates.withColumn(
-        "__shard", F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int")
+    return _mark_with_blobs(
+        candidates, blobs, n_shards, hash_col, strategy,
+        lambda blob, m, k, h: probe_bloom(blob, h, m, k),
     )
-    joined = withshard.join(
-        F.broadcast(blobs.withColumnRenamed("shard", "__shard")),
-        "__shard",
-        "left",
-    )
-
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
-    ) + ", maybe_seen boolean"
-
-    cand_cols = [f.name for f in candidates.schema.fields]
-
-    def _probe(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            res = pdf[cand_cols].copy()
-            maybe = np.zeros(len(pdf), dtype=bool)
-            if len(pdf):
-                has_blob = pdf["bits"].notna().to_numpy()
-                if has_blob.any():
-                    for (m, k, blob), idx in _group_by_blob(pdf, has_blob):
-                        h = (
-                            pdf[hash_col]
-                            .to_numpy(dtype=np.int64)[idx]
-                            .astype(np.uint64)
-                        )
-                        maybe[idx] = probe_bloom(blob, h, m, k)
-            res["maybe_seen"] = maybe
-            yield res
-
-    return joined.mapInPandas(_probe, schema=out_schema)
-
-
-def _group_by_blob(pdf: pd.DataFrame, has_blob: np.ndarray):
-    """Group row indices by (m, k, blob) to probe each blob once per batch."""
-    idx_all = np.nonzero(has_blob)[0]
-    shards = pdf["__shard"].to_numpy()[idx_all]
-    for s in np.unique(shards):
-        idx = idx_all[shards == s]
-        row = idx[0]
-        yield (
-            int(pdf["m"].iloc[row]),
-            int(pdf["k"].iloc[row]),
-            pdf["bits"].iloc[row],
-        ), idx
 
 
 def dedup_against_seen(
@@ -222,18 +298,29 @@ def dedup_against_seen(
     n_shards: int = 32,
     hash_col: str = "url_hash",
     broadcast_hint: bool = True,
+    blob_strategy: str = "auto",
 ) -> DataFrame:
     """New-only candidates: bloom pre-filter + exact backstop.
 
     ``seen`` may be None/empty (first wave).  The exact check never
     shuffles the seen set: a left-semi streams seen once and keeps only
     hashes that occur in the wave, and the anti-join then runs against
-    that small set.  ``broadcast_hint=True`` pins the broadcast (right
+    that small hit set.  ``broadcast_hint=True`` pins the broadcast (right
     when candidates are known budget-bounded); with ``False`` the strategy
     is left to AQE, which still broadcasts small runtime sizes but can
     fall back instead of exceeding the broadcast cap on an unbounded
-    candidate set.  With blobs, only bloom-positive rows reach the
-    backstop — at design fpp that is |true seen ∩ wave| + ~1% of the rest.
+    candidate set.
+
+    With blobs, the bloom probe runs EXACTLY ONCE, inside the broadcast-
+    side subquery that computes the hit set: bloom-positive (suspect) keys
+    are left-semi'd against seen — at design fpp that is
+    |true seen ∩ wave| + ~1% of the rest — and the final plan is one
+    anti-join of the UNTOUCHED candidate stream against that hit set.
+    Bloom-negative rows cannot be in ``seen`` (no false negatives), so
+    they pass the anti-join by construction.  The previous formulation
+    (union of a fresh branch and an anti-joined suspect branch) evaluated
+    the probe map once per branch plus once for the hit subquery — three
+    wave scans where one suffices.
     """
     if seen is None:
         return candidates
@@ -241,19 +328,19 @@ def dedup_against_seen(
     def _hint(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_hint else df
 
-    def _anti_streaming(cand: DataFrame) -> DataFrame:
-        keys = cand.select(F.col(hash_col)).distinct()
-        hits = seen.select(F.col(hash_col)).join(
-            _hint(keys), hash_col, "left_semi"
-        )
-        return cand.join(_hint(hits), hash_col, "left_anti")
-
     if blobs is not None:
-        marked = mark_maybe_seen(candidates, blobs, n_shards, hash_col)
-        fresh = marked.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        suspect = marked.filter(F.col("maybe_seen")).drop("maybe_seen")
-        return fresh.unionByName(_anti_streaming(suspect))
-    return _anti_streaming(candidates)
+        keys = (
+            mark_maybe_seen(
+                candidates, blobs, n_shards, hash_col, strategy=blob_strategy
+            )
+            .filter(F.col("maybe_seen"))
+            .select(F.col(hash_col))
+            .distinct()
+        )
+    else:
+        keys = candidates.select(F.col(hash_col)).distinct()
+    hits = seen.select(F.col(hash_col)).join(_hint(keys), hash_col, "left_semi")
+    return candidates.join(_hint(hits), hash_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -487,42 +574,21 @@ def mark_maybe_seen_cuckoo(
     blobs: DataFrame,
     n_shards: int = 32,
     hash_col: str = "url_hash",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Cuckoo analog of ``mark_maybe_seen`` (vectorized probe, no Python
-    per-row loop on the read path)."""
-    withshard = candidates.withColumn(
-        "__shard", F.pmod(F.col(hash_col), F.lit(n_shards)).cast("int")
-    )
-    joined = withshard.join(
-        F.broadcast(blobs.withColumnRenamed("shard", "__shard")),
-        "__shard",
-        "left",
-    )
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in candidates.schema.fields
-    ) + ", maybe_seen boolean"
-    cand_cols = [f.name for f in candidates.schema.fields]
+    per-row loop on the read path; blobs ship once per executor/task via
+    :func:`_mark_with_blobs`, never per candidate row)."""
 
-    def _probe(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            res = pdf[cand_cols].copy()
-            maybe = np.zeros(len(pdf), dtype=bool)
-            if len(pdf):
-                has_blob = pdf["bits"].notna().to_numpy()
-                if has_blob.any():
-                    for (m, _k, blob), idx in _group_by_blob(pdf, has_blob):
-                        table = np.frombuffer(
-                            blob, dtype=np.uint16
-                        ).reshape(m, CuckooFilter.SLOTS)
-                        h = (
-                            pdf[hash_col].to_numpy(dtype=np.int64)[idx]
-                            .astype(np.uint64)
-                        )
-                        maybe[idx] = _cuckoo_vec_probe(table, h)
-            res["maybe_seen"] = maybe
-            yield res
+    def _probe(blob: bytes, m: int, _k: int, h: np.ndarray) -> np.ndarray:
+        table = np.frombuffer(blob, dtype=np.uint16).reshape(
+            m, CuckooFilter.SLOTS
+        )
+        return _cuckoo_vec_probe(table, h)
 
-    return joined.mapInPandas(_probe, schema=out_schema)
+    return _mark_with_blobs(
+        candidates, blobs, n_shards, hash_col, strategy, _probe
+    )
 
 
 def invalidate_recrawl(

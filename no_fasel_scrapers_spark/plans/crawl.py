@@ -73,6 +73,7 @@ from ..operators.politeness import politeness_metrics, schedule_fetches
 from ..operators.robots import apply_robots
 from ..operators.seen_filter import (
     bloom_params as _bloom_params,
+    BROADCAST_MAX_BYTES,
     build_filter_blobs,
     dedup_against_seen,
     merge_filter_blobs,
@@ -241,6 +242,15 @@ def run_crawl(
     # exact.  Stale bits after recrawl invalidation are likewise safe:
     # bloom false positives are always corrected by the backstop.
     n_per_shard = max(1, expected_urls // n_shards)
+    # How the probe ships the filter to executors: decided ONCE from the
+    # pinned sizing (total filter bytes = expected_urls * bits_per_key/8),
+    # not per wave — the "auto" path would re-agg the blob table every
+    # wave for an answer the driver already knows.
+    blob_strategy = (
+        "broadcast"
+        if expected_urls * 10 // 8 <= BROADCAST_MAX_BYTES
+        else "cogroup"
+    )
     blobs = (
         catalog.read(spark, "blobs") if catalog.exists("blobs") else None
     )
@@ -376,7 +386,8 @@ def run_crawl(
             fresh = allowed
         else:
             fresh = dedup_against_seen(
-                allowed, seen, blobs, n_shards, broadcast_hint=bounded_wave
+                allowed, seen, blobs, n_shards,
+                broadcast_hint=bounded_wave, blob_strategy=blob_strategy,
             )
         scheduled = schedule_fetches(fresh, robots_b, n_salts).observe(
             obs_sched,
