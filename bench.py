@@ -107,19 +107,29 @@ def _spark(cpus: int):
 
 def _crawl_spark(cpus: int):
     """Session for the full-engine site crawl (warehouse outside the repo:
-    saveAsTable in bucketed mode writes under spark.sql.warehouse.dir)."""
+    saveAsTable in bucketed mode writes under spark.sql.warehouse.dir).
+
+    Shuffle partitions and heap scale with the site size, the way a real
+    cluster sizes them to the data: at 16 fixed partitions a 12M-page
+    wave put ~750k rows in each SHUFFLE_HASH build and the hash-relation
+    allocation (256 MB+) failed under concurrent-task memory pressure.
+    ~250k rows per partition keeps builds comfortably inside per-task
+    execution memory at every level; AQE coalesces the small waves'
+    surplus partitions, so small sites are unaffected."""
     os.environ.setdefault(
         "SPARK_GRAFT_WAREHOUSE",
         os.path.join(tempfile.gettempdir(), "nfs_bench_warehouse"),
     )
     from no_fasel_scrapers_spark.session import get_spark
 
+    parts = max(cpus, 8, N_PAGES // 250_000)
+    heap_gb = max(cpus, 8, N_PAGES // 1_000_000)
     return get_spark(
         app_name=f"bench-crawl-local{cpus}",
         master=f"local[{cpus}]",
         extra_conf={
-            "spark.sql.shuffle.partitions": str(max(cpus, 8)),
-            "spark.driver.memory": f"{max(cpus, 8)}g",
+            "spark.sql.shuffle.partitions": str(parts),
+            "spark.driver.memory": f"{heap_gb}g",
             "spark.sql.warehouse.dir": os.environ["SPARK_GRAFT_WAREHOUSE"],
         },
     )

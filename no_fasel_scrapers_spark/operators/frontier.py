@@ -29,6 +29,10 @@ FRONTIER_SCHEMA = (
 
 ORDER_COLS = ["priority", "depth", "url_hash"]
 
+# pagination expansion: pages per explode task (see _pagination_cols) —
+# bounds both the per-task URL-build work and the sequence() array size
+PAGINATION_CHUNK = 8_192
+
 
 from functools import lru_cache
 
@@ -178,8 +182,8 @@ def expand_pagination_df(
     NULL ``from_url`` probes are ignored by the min (probes always carry
     the url that declared them).
     """
-    probe_filter, band_cols, expand_cols, out_cols = _pagination_cols(
-        max_pages
+    probe_filter, band_cols, chunk_cols, expand_cols, out_cols = (
+        _pagination_cols(max_pages)
     )
     ex = (
         probes.filter(probe_filter)
@@ -193,6 +197,16 @@ def expand_pagination_df(
         # all larger extents → running min of from_url in desc order
         .select(*band_cols)
         .filter(F.col("band_start") <= F.col("band_stop"))
+        # chunk starts, spread across the cluster BEFORE the page explode
+        # so no single task builds a whole extent's URLs.  The explicit
+        # partition count pins the exchange (AQE leaves user-numbered
+        # repartitions alone — size-based coalescing would see tiny chunk
+        # rows and re-serialize the expansion it exists to spread).
+        .select(*chunk_cols)
+        .repartition(
+            max(n_salts, 8), "site", "category", "url_template",
+            "chunk_start",
+        )
         .select(*expand_cols)
         .select(*out_cols)
     )
@@ -231,13 +245,38 @@ def _pagination_cols(max_pages: int):
             F.lit(max_pages).cast("long"),
         ).alias("band_stop"),
     )
+    # two-level explode: band → fixed-size chunks → pages.  A single
+    # explode(sequence(band_start, band_stop)) expands one extent in ONE
+    # task — a mega-extent (a host declaring 10^5-10^9 listing pages)
+    # serializes its whole URL build on one core (measured: 187,500 pages
+    # of the 3M bench site built in 3 tasks ≈ 5.5 s serial per wave).
+    # Chunk starts are cheap (1 row per PAGINATION_CHUNK pages), get
+    # hash-repartitioned across the cluster, and each task then explodes
+    # at most PAGINATION_CHUNK pages.  Union of chunk ranges == the band
+    # range, and from_url is constant per band, so output rows are
+    # identical.
+    chunk_cols = (
+        F.col("site"), F.col("category"), F.col("url_template"),
+        F.col("depth"), F.col("priority"), F.col("from_url"),
+        F.col("band_stop"),
+        F.explode(
+            F.sequence(
+                F.col("band_start"),
+                F.col("band_stop"),
+                F.lit(PAGINATION_CHUNK).cast("long"),
+            )
+        ).alias("chunk_start"),
+    )
     expand_cols = (
         F.col("site"), F.col("category"), F.col("url_template"),
         F.col("depth"), F.col("priority"), F.col("from_url"),
         F.explode(
             F.sequence(
-                F.col("band_start").cast("int"),
-                F.col("band_stop").cast("int"),
+                F.col("chunk_start").cast("int"),
+                F.least(
+                    F.col("chunk_start") + F.lit(PAGINATION_CHUNK - 1),
+                    F.col("band_stop"),
+                ).cast("int"),
             )
         ).alias("page"),
     )
@@ -254,7 +293,7 @@ def _pagination_cols(max_pages: int):
         F.coalesce(F.col("priority"), F.lit(0)).cast("int").alias("priority"),
         F.col("from_url").cast("string").alias("discovered_from"),
     )
-    return probe_filter, band_cols, expand_cols, out_cols
+    return probe_filter, band_cols, chunk_cols, expand_cols, out_cols
 
 
 def expand_pagination(

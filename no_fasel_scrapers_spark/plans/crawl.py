@@ -431,8 +431,17 @@ def run_crawl(
         # every wave size: each side shuffles once on url_hash, per-
         # partition hash build, no sort of the html side, no html
         # broadcast ever.
-        fetched = scheduled.join(
-            pages_wave.hint("SHUFFLE_HASH"), "url_hash", "left"
+        #
+        # The hint sits on the SLIM side (round-4 fix): hinting pages_wave
+        # made the SHJ BuildRight — every task built its hash relation out
+        # of the wave's HTML (~250k rows × ~3 KB ≈ 750 MB per partition at
+        # a 12M-page wave; allocation failures killed the crawl).  Spark
+        # ≥3.1 builds the preserved side of a left-outer SHJ (SPARK-32399/
+        # SPARK-36612), so hinting `scheduled` gives BuildLeft: the hash
+        # relation holds only slim url rows and the HTML side streams
+        # through the probe — bounded build memory at ANY wave size.
+        fetched = scheduled.hint("SHUFFLE_HASH").join(
+            pages_wave, "url_hash", "left"
         ).filter(
             F.col("p_url").isNull() | (F.col("p_url") == F.col("url"))
         )

@@ -106,7 +106,9 @@ def test_bucketed_corpus_fetch_join_has_no_html_exchange(spark, tmp_path):
         pages_wave = pages_k.join(
             F.broadcast(sched.select("url_hash")), "url_hash", "left_semi"
         )
-        j = sched.join(pages_wave.hint("SHUFFLE_HASH"), "url_hash", "left")
+        # hint on the SLIM side (BuildLeft) — mirrors plans/crawl.py: the
+        # hash relation holds url rows, the bucketed HTML side streams
+        j = sched.hint("SHUFFLE_HASH").join(pages_wave, "url_hash", "left")
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "Bucketed: true" in plan
         # exactly one hash exchange, and it is the slim side (no html col)
