@@ -201,11 +201,17 @@ def expand_pagination_df(
         # so no single task builds a whole extent's URLs.  The explicit
         # partition count pins the exchange (AQE leaves user-numbered
         # repartitions alone — size-based coalescing would see tiny chunk
-        # rows and re-serialize the expansion it exists to spread).
+        # rows and re-serialize the expansion it exists to spread).  The
+        # count tracks the cluster (defaultParallelism), floored by
+        # n_salts, so direct run_crawl callers who never tune n_salts
+        # still spread a mega-extent over every core (ADVICE r4).
         .select(*chunk_cols)
         .repartition(
-            max(n_salts, 8), "site", "category", "url_template",
-            "chunk_start",
+            max(
+                n_salts,
+                probes.sparkSession.sparkContext.defaultParallelism,
+            ),
+            "site", "category", "url_template", "chunk_start",
         )
         .select(*expand_cols)
         .select(*out_cols)

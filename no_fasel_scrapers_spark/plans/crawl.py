@@ -436,8 +436,9 @@ def run_crawl(
         # made the SHJ BuildRight — every task built its hash relation out
         # of the wave's HTML (~250k rows × ~3 KB ≈ 750 MB per partition at
         # a 12M-page wave; allocation failures killed the crawl).  Spark
-        # ≥3.1 builds the preserved side of a left-outer SHJ (SPARK-32399/
-        # SPARK-36612), so hinting `scheduled` gives BuildLeft: the hash
+        # ≥3.3 builds the preserved side of a left-outer SHJ (SPARK-36612
+        # landed in 3.3.0; this repo floors on PySpark 4.x anyway), so
+        # hinting `scheduled` gives BuildLeft: the hash
         # relation holds only slim url rows and the HTML side streams
         # through the probe — bounded build memory at ANY wave size.
         fetched = scheduled.hint("SHUFFLE_HASH").join(

@@ -118,6 +118,10 @@ def test_bucketed_corpus_fetch_join_has_no_html_exchange(spark, tmp_path):
             ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
         ]
         assert len(exchanges) == 1
+        # the one exchange is the SLIM side: no html column rides it
+        # (ADVICE r4 — pin the property directly, not just the count)
+        for ln in exchanges:
+            assert "html" not in ln
         scan_line = next(ln for ln in plan.splitlines() if "FileScan" in ln)
         assert "html" in scan_line  # html flows ONLY through the bucketed scan
     finally:
