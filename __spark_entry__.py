@@ -1060,6 +1060,9 @@ def q_exact_dedup_stream(spark, sf_dir):
     import tempfile
     import uuid
 
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     from no_fasel_scrapers_spark.streaming.ingest import (
         exact_dedup_stream,
         run_stream_to_sink,
@@ -1067,9 +1070,23 @@ def q_exact_dedup_stream(spark, sf_dir):
 
     src = tempfile.mkdtemp(prefix="nfs_stream_docs_")
     _sh.copy(os.path.join(sf_dir, "documents.parquet"), src)
-    spark.createDataFrame(
-        _STREAM_DEDUP_PROBE_ROWS, "doc_id long, text string"
-    ).coalesce(1).write.mode("append").parquet(src)
+    # probe file written with pyarrow directly: a Spark
+    # createDataFrame(local rows)→parquet job measured a flat ~4s on
+    # local[32] (LocalTableScan write path), which dominated this query's
+    # bench time (BENCH_r04 7.3s) while the stream itself was ~1s
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    [r[0] for r in _STREAM_DEDUP_PROBE_ROWS], pa.int64()
+                ),
+                "text": pa.array(
+                    [r[1] for r in _STREAM_DEDUP_PROBE_ROWS], pa.string()
+                ),
+            }
+        ),
+        os.path.join(src, "probe.parquet"),
+    )
     ddl = "doc_id bigint, text string"
     docs = (
         spark.readStream.schema(ddl).parquet(src)
@@ -1085,13 +1102,23 @@ def q_exact_dedup_stream(spark, sf_dir):
     )
     ded = exact_dedup_stream(docs)
     name = "dedupstream_" + uuid.uuid4().hex[:8]
-    q = run_stream_to_sink(
-        ded,
-        checkpoint=tempfile.mkdtemp(prefix="nfs_stream_ckpt_"),
-        query_name=name,
-        output_mode="append",
-    )
-    q.awaitTermination()
+    # the state store creates + commits one shard per shuffle partition
+    # PER MICRO-BATCH (pinned at stream birth by the fresh checkpoint);
+    # at the driver's sf this is pure fixed cost, so size it explicitly.
+    # A real deployment sizes this to the cluster (state shards scale
+    # with spark.sql.shuffle.partitions — streaming/ingest.py scale note)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_stream_to_sink(
+            ded,
+            checkpoint=tempfile.mkdtemp(prefix="nfs_stream_ckpt_"),
+            query_name=name,
+            output_mode="append",
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
     return spark.table(name)
 
 
