@@ -1665,6 +1665,77 @@ def q_crawl_e2e(spark, sf_dir):
     )
 
 
+def q_recrawl_delta(spark, sf_dir):
+    """Recrawl/invalidation cycle (the one crawl semantic VERDICT r4 noted
+    had no registry row): crawl the fixture site, invalidate a
+    deterministic quarter of the fetched URLs from the seen set
+    (cuckoo-delete semantics, ``operators/seen_filter.invalidate_recrawl``
+    via ``run_crawl(recrawl=...)``), re-crawl them as a recrawl queue over
+    MUTATED page content (``Alpha``→``Gamma`` — changes every page's text,
+    no URL), and merge old/new records with new-wins precedence (O14,
+    ``operators/merge.union_with_precedence``).  Oracle: the independent
+    Python crawl scheduler run through the same cycle
+    (oracle/analytic.recrawl_delta_rows).  The rollup pins, at value
+    level: refetched records carry the new content (refetch_text_bytes),
+    non-invalidated records survive untouched (text_bytes), and links
+    re-discovered by recrawled pages stay deduped against the imported
+    seen set (n_records, n_refetched)."""
+    import tempfile
+
+    from no_fasel_scrapers_spark.operators.merge import union_with_precedence
+    from no_fasel_scrapers_spark.plans.crawl import run_crawl
+    from no_fasel_scrapers_spark.sources.catalog import Catalog
+    from no_fasel_scrapers_spark.sources.fixture import Fixture, FixtureConfig
+
+    fx = Fixture(FixtureConfig())
+    cat1 = Catalog(tempfile.mkdtemp(prefix="nfs_recrawl1_"))
+    res1 = run_crawl(
+        spark, fx.pages_df(spark), fx.seeds_df(spark), fx.robots_df(spark),
+        cat1,
+    )
+    old = res1.extracted.select("url", "site", "category", "role", "text")
+    # the invalidation set is the driver's decision (TTL / change signal);
+    # deterministic hash quarter here.  Spark xxhash64 == the oracle's
+    # xxh64_signed twin; pmod == Python % for a positive modulus.
+    recrawl = old.filter(F.pmod(F.xxhash64("url"), F.lit(4)) == 0)
+    seeds2 = recrawl.select(
+        "url", "site", "category",
+        F.lit(0).alias("priority"), F.lit(0).alias("depth"), "role",
+        F.lit(None).cast("string").alias("url_template"),
+    )
+    pages2 = fx.pages_df(spark).withColumn(
+        "html",
+        F.encode(
+            F.replace(
+                F.decode(F.col("html"), "UTF-8"),
+                F.lit("Alpha"), F.lit("Gamma"),
+            ),
+            "UTF-8",
+        ),
+    )
+    cat2 = Catalog(tempfile.mkdtemp(prefix="nfs_recrawl2_"))
+    res2 = run_crawl(
+        spark, pages2, seeds2, fx.robots_df(spark), cat2,
+        seen=res1.seen, recrawl=recrawl.select("url"),
+    )
+    new = res2.extracted.select("url", "site", "category", "role", "text")
+    merged = union_with_precedence(old, new, key="url", old_wins=False)
+    _bytes = F.sum(
+        F.length(F.encode(F.coalesce("text", F.lit("")), "UTF-8"))
+    )
+    roll = merged.groupBy("site", "role").agg(
+        F.count("*").alias("n_records"), _bytes.alias("text_bytes")
+    )
+    ref = new.groupBy("site", "role").agg(
+        F.count("*").alias("n_refetched"), _bytes.alias("refetch_text_bytes")
+    )
+    return (
+        roll.join(ref, ["site", "role"], "left")
+        .fillna(0, ["n_refetched", "refetch_text_bytes"])
+        .orderBy("site", "role")
+    )
+
+
 def q_warc_roundtrip(spark, sf_dir):
     """WARC source/sink (sources/warc.py, Python DataSource API):
     documents → pages schema → WARC sink → WARC scan → per-host rollup.
@@ -1730,6 +1801,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     - ``intersect_keys`` — plain built-in ``INTERSECT``, no engine code of
       its own; stays oracle-pinned in tests/test_retired_queries.py.
+
+    One more retired in round 5 to make room for the recrawl/invalidation
+    cycle (``recrawl_delta`` — the one crawl semantic without a registry
+    row, VERDICT r4 #5):
+
+    - ``embedding_near_dup_recall`` — a 1-row recall metric whose exact
+      truth side duplicates the already-retired ``cosine_pairs_exact``;
+      the LSH operator it measures stays registry-checked via
+      ``embedding_near_dup_lsh``.
     """
     return {
         "pricing_summary": q_pricing_summary,
@@ -1779,7 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "ivf_recall": q_ivf_recall,
         "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-        "embedding_near_dup_recall": q_embedding_near_dup_recall,
+        "recrawl_delta": q_recrawl_delta,
         "doc_fingerprints": q_doc_fingerprints,
         "crawl_e2e": q_crawl_e2e,
     }
@@ -1799,6 +1879,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "chunk_documents": q_chunk_documents,
         "intersect_keys": q_intersect_keys,
+        "embedding_near_dup_recall": q_embedding_near_dup_recall,
     }
 
 
@@ -1851,10 +1932,10 @@ def _analytic_oracles() -> dict[str, str]:
         "ivf_ann": ao.ivf_ann_sql,
         "ivf_recall": ao.ivf_recall_sql,
         "embedding_near_dup_lsh": ao.embedding_near_dup_sql,
-        "embedding_near_dup_recall": ao.embedding_near_dup_recall_sql,
         "doc_fingerprints": ao.doc_fingerprints_sql,
         "media_features": ao.media_features_sql,
         "crawl_e2e": ao.crawl_e2e_sql,
+        "recrawl_delta": ao.recrawl_delta_sql,
     }
     for name, build in builders.items():
         try:
@@ -2539,7 +2620,12 @@ def oracle_sql() -> dict[str, str]:
 def retired_oracle_sql() -> dict[str, str]:
     """DuckDB oracles for ``retired_queries()`` — kept green by
     tests/test_retired_queries.py (same compare as the driver's gate)."""
+    from no_fasel_scrapers_spark.oracle import analytic as ao
+
     return {
+        # analytic VALUES oracle, same builder the registry used through
+        # round 4 (retired round 5 in favor of recrawl_delta)
+        "embedding_near_dup_recall": ao.embedding_near_dup_recall_sql(),
         "intersect_keys": """
             SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
             INTERSECT

@@ -755,3 +755,71 @@ def crawl_e2e_sql(sf: str | None = None) -> str:
         [("wave", "INTEGER"), ("site", "VARCHAR"), ("role", "VARCHAR"),
          ("n_pages", "BIGINT"), ("text_bytes", "BIGINT")],
     )
+
+
+# ---------------------------------------------------------------------------
+# recrawl_delta — seen-set invalidation → re-fetch → O14 merge
+# ---------------------------------------------------------------------------
+
+def recrawl_delta_rows():
+    """Python-oracle twin of the recrawl/invalidation cycle (VERDICT r4
+    task #5): crawl the fixture site once, invalidate a deterministic
+    quarter of the fetched URLs (cuckoo-delete semantics on the exact seen
+    set, ``operators/seen_filter.invalidate_recrawl``), re-crawl them as a
+    recrawl queue against MUTATED page content, and merge with new-wins
+    precedence (O14, ``operators/merge.union_with_precedence``).
+
+    The mutation (``Alpha``→``Gamma`` in the HTML bytes) changes every
+    page's extracted text but no URL, so the rollup's ``refetch_text_bytes``
+    pins that re-fetched records carry the NEW content while
+    ``n_records``/``text_bytes`` pin that non-invalidated records survive
+    untouched and re-discovered links of recrawled pages stay deduped
+    against the imported seen set."""
+    from ..plans.oracle_crawler import crawl_oracle
+    from ..sources.fixture import Fixture, FixtureConfig
+
+    fx = Fixture(FixtureConfig())
+    pages1 = {p["url"]: p["html"] for p in fx.pages}
+    r1 = crawl_oracle(pages1, fx.seeds, fx.robots)
+    old = {e["url"]: e for e in r1.extracted}
+    rc = {u for u in old if _hs(u) % 4 == 0}
+    seeds2 = [
+        {
+            "url": u, "site": old[u]["site"],
+            "category": old[u]["category"], "role": old[u]["role"],
+            "priority": 0, "depth": 0, "url_template": None,
+        }
+        for u in sorted(rc)
+    ]
+    pages2 = {u: h.replace(b"Alpha", b"Gamma") for u, h in pages1.items()}
+    r2 = crawl_oracle(pages2, seeds2, fx.robots, seen_prior=r1.seen - rc)
+    new = {e["url"]: e for e in r2.extracted}
+    merged = dict(old)
+    merged.update(new)
+
+    def _b(e) -> int:
+        return len((e.get("text") or "").encode("utf-8"))
+
+    agg: dict[tuple, tuple[int, int, int, int]] = {}
+    for e in merged.values():
+        k = (e["site"], e["role"])
+        n, b, rn, rb = agg.get(k, (0, 0, 0, 0))
+        agg[k] = (n + 1, b + _b(e), rn, rb)
+    for e in new.values():
+        k = (e["site"], e["role"])
+        n, b, rn, rb = agg[k]
+        agg[k] = (n, b, rn + 1, rb + _b(e))
+    return [
+        (s, r, n, b, rn, rb)
+        for (s, r), (n, b, rn, rb) in sorted(agg.items())
+    ]
+
+
+def recrawl_delta_sql(sf: str | None = None) -> str:
+    rows = recrawl_delta_rows()
+    return values_sql(
+        rows,
+        [("site", "VARCHAR"), ("role", "VARCHAR"),
+         ("n_records", "BIGINT"), ("text_bytes", "BIGINT"),
+         ("n_refetched", "BIGINT"), ("refetch_text_bytes", "BIGINT")],
+    )

@@ -120,6 +120,24 @@ class CrawlResult:
     waves: int = 0
 
 
+def _obs_n(obs: Observation, fallback_df: DataFrame, col: str = "n") -> int:
+    """Observation metric with an empty-plan fallback.
+
+    When a wave's ``scheduled`` set materializes EMPTY at runtime (every
+    candidate robots-blocked or already seen — e.g. a recrawled page
+    re-discovering only a disallowed link, or a resume whose whole
+    frontier is already in the seen set), AQE's empty-relation propagation
+    can rewrite the wave's write plan around the CollectMetrics nodes, so
+    the Observation never fires and PySpark's ``get`` trips a JVM-side
+    assertion.  The fallback count only runs for such degenerate waves,
+    where the input is the wave-bounded (persisted) frontier slice —
+    never the pages or seen tables."""
+    try:
+        return int(obs.get[col] or 0)
+    except Exception:
+        return fallback_df.count()
+
+
 def _prep_pages(pages: DataFrame) -> DataFrame:
     """Slim fetch-side projection keyed by url_hash.
 
@@ -212,9 +230,17 @@ def run_crawl(
                 meta={"wave": start_wave - 1, "kind": "compact"},
             )
             seen = catalog.read_log(spark, "seen")
-    if seen_prior is not None and not catalog.exists("seen"):
-        # fresh run with imported history: publish it as the log base so
-        # per-wave writes stay O(delta) (the seen set is never rewritten)
+    if (seen_prior is not None or caller_seen) and not catalog.exists(
+        "seen"
+    ):
+        # fresh run with imported history (seen_prior=) OR a caller-passed
+        # seen set (seen=) over a fresh catalog: publish it as the log base
+        # so per-wave writes stay O(delta) (the seen set is never
+        # rewritten).  The caller_seen case matters beyond efficiency: the
+        # wave loop re-reads `seen` from the log after every wave, so a
+        # caller-passed set that never reached the log would silently stop
+        # deduping from wave 1 on (found building recrawl_delta, round 5 —
+        # the resume path always has a catalog base, which masked it).
         catalog.write(
             seen, "seen", meta={"wave": start_wave - 1, "kind": "base"}
         )
@@ -471,10 +497,10 @@ def run_crawl(
         # ---- wave metrics -------------------------------------------------
         # counts observed during the write action above (obs.get blocks
         # until that action finished, which it already has)
-        n_wave = int(obs_wave.get["n"])
-        n_allowed = int(obs_allowed.get["n"])
+        n_wave = _obs_n(obs_wave, wave)
+        n_allowed = _obs_n(obs_allowed, allowed)
         n_blocked = n_wave - n_allowed
-        n_fresh = int(obs_sched.get["n"])
+        n_fresh = _obs_n(obs_sched, scheduled)
         seen_count += n_fresh
         n_hit = int(obs_hit.get["n"] or 0)
         # lineage keeps the top-K busiest hosts, not every host: at crawl
@@ -640,7 +666,10 @@ def run_crawl(
                 "attempted": n_fresh,
                 "fetched": n_hit,
                 "missed": n_fresh - n_hit,
-                "n_hosts": int(obs_sched.get["n_hosts"]),
+                "n_hosts": _obs_n(
+                    obs_sched, scheduled.select("host").dropDuplicates(),
+                    "n_hosts",
+                ),
                 "hosts": host_metrics,
                 "t_ms": t_ms,
             }

@@ -8,6 +8,8 @@ Retired (see __spark_entry__.queries() docstring):
 - cosine_pairs_exact (subsumed by embedding_near_dup_recall's truth side)
 - ann_bruteforce     (exact top-k is ivf_recall's oracle-checked truth side)
 - chunk_documents    (runs inside the oracle-checked training_prep capstone)
+- embedding_near_dup_recall (retired round 5 for recrawl_delta; its exact
+  truth side duplicates cosine_pairs_exact)
 """
 
 import os
@@ -19,6 +21,9 @@ import pytest
 import __spark_entry__ as E
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+# the analytic VALUES oracles (embedding_near_dup_recall) bake data from a
+# parquet dir at build time — pin them to the same sf the Spark side reads
+os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -51,7 +56,8 @@ def test_registry_is_exactly_50_and_fully_oracle_checked():
 
 @pytest.mark.parametrize("name", ["ngram_jaccard", "events_hourly",
                                   "cosine_pairs_exact", "ann_bruteforce",
-                                  "chunk_documents", "intersect_keys"])
+                                  "chunk_documents", "intersect_keys",
+                                  "embedding_near_dup_recall"])
 def test_retired_query_matches_oracle(spark, con, name):
     sdf = E.retired_queries()[name](spark, SF_DIR).toPandas()
     odf = con.execute(E.retired_oracle_sql()[name]).df()
