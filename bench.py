@@ -234,11 +234,16 @@ def bench_crawl(spark, runs: int = 2) -> tuple[float, int]:
     return best
 
 
-def crawl_site_run(spark, pages, cpus: int) -> tuple[float, int, int]:
+def crawl_site_run(
+    spark, pages, cpus: int
+) -> tuple[float, int, int, dict]:
     """One timed full-engine crawl over the generated site: seed →
     pagination-extent discovery → frontier waves → robots → bloom dedup →
     salted politeness → fetch join → extraction → per-wave checkpointing.
-    Returns (wall_sec, pages_extracted, waves)."""
+    Returns (wall_sec, pages_extracted, waves, stage_totals_ms) — the
+    stage totals are the lineage's driver-side ``t_ms`` marks summed over
+    waves, so paired scaling runs can decompose WHICH stage's per-core
+    throughput collapses between levels (VERDICT r4 #2)."""
     from no_fasel_scrapers_spark.plans.crawl import run_crawl
     from no_fasel_scrapers_spark.sources.catalog import Catalog
     from no_fasel_scrapers_spark.sources.pagegen import site_seed_rows
@@ -266,13 +271,18 @@ def crawl_site_run(spark, pages, cpus: int) -> tuple[float, int, int]:
             max_pagination=max(N_PAGES // 8, 100_000),
         )
         n_extracted = res.extracted.count()
-        return time.time() - t0, n_extracted, res.waves
+        wall = time.time() - t0
+        stage_totals: dict = {}
+        for l in res.lineage:
+            for k, v in l.get("t_ms", {}).items():
+                stage_totals[k] = stage_totals.get(k, 0) + v
+        return wall, n_extracted, res.waves, stage_totals
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _paired_trials(once_flag: str, hi_lo: list[int], trials: int,
-                   control: bool) -> list[dict]:
+                   control: bool, spark_control: bool = False) -> list[dict]:
     """Interleaved paired scaling trials — the two-cluster-size estimator.
 
     Each trial measures (hi, lo[, no-engine control]) back-to-back under
@@ -297,23 +307,36 @@ def _paired_trials(once_flag: str, hi_lo: list[int], trials: int,
 
     Non-"sec" keys of the hi level's JSON (e.g. the crawl lane's pages/
     waves) are copied into the pair record as job metadata.
+
+    With ``spark_control=True`` each trial also runs the SPARK-SHAPED
+    no-engine control (``--spark-ctl-once``: scan→hash-shuffle→parquet-
+    write of the same site, zero engine code) at both pinned levels and
+    records ``spark_ctl_eff`` + ``engine_vs_spark_ctl`` — the VERDICT r4
+    decision rule: engine eff ÷ spark_ctl_eff ≥ 0.8 means the whole-loop
+    loss is the host's Spark-visible scale-up ceiling, not the engine.
     """
     import subprocess
+
+    def _run_pinned(cmd_tail: list[str], cpus: int, env_extra: dict) -> dict:
+        cmd = [sys.executable] + cmd_tail
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+        out = subprocess.run(
+            cmd, capture_output=True, text=True,
+            env=dict(os.environ, **env_extra), check=True,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
 
     hi, lo = hi_lo
     pairs: list[dict] = []
     for _ in range(trials):
         recs: dict[int, dict] = {}
         for cpus in hi_lo:
-            cmd = [sys.executable, os.path.abspath(__file__),
-                   once_flag, str(cpus)]
-            if shutil.which("taskset"):
-                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
-            env = dict(os.environ, SPARK_GRAFT_BENCH_PAGES=str(N_PAGES))
-            out = subprocess.run(
-                cmd, capture_output=True, text=True, env=env, check=True
+            recs[cpus] = _run_pinned(
+                [os.path.abspath(__file__), once_flag, str(cpus)], cpus,
+                {"SPARK_GRAFT_BENCH_PAGES": str(N_PAGES)},
             )
-            recs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+        stages = {c: recs[c].pop("stages", None) for c in hi_lo}
         pair = {
             "hi_sec": round(recs[hi]["sec"], 2),
             "lo_sec": round(recs[lo]["sec"], 2),
@@ -324,6 +347,32 @@ def _paired_trials(once_flag: str, hi_lo: list[int], trials: int,
         pair.update(
             (k, v) for k, v in recs[hi].items() if k != "sec"
         )
+        if stages[hi] and stages[lo]:
+            # per-stage paired efficiency from the lineage's driver-side
+            # stage marks: which stage's per-core throughput collapses
+            pair["stage_eff"] = {
+                k: round(stages[lo][k] / (stages[hi][k] * (hi / lo)), 3)
+                for k in stages[hi]
+                if stages[hi].get(k) and stages[lo].get(k)
+            }
+            pair["stages_ms"] = {"hi": stages[hi], "lo": stages[lo]}
+        if spark_control:
+            sctl = {
+                cpus: _run_pinned(
+                    [os.path.abspath(__file__), "--spark-ctl-once",
+                     str(cpus)], cpus,
+                    {"SPARK_GRAFT_BENCH_PAGES": str(N_PAGES)},
+                )["sec"]
+                for cpus in hi_lo
+            }
+            pair["spark_ctl_hi_sec"] = sctl[hi]
+            pair["spark_ctl_lo_sec"] = sctl[lo]
+            pair["spark_ctl_eff"] = round(
+                sctl[lo] / (sctl[hi] * (hi / lo)), 3
+            )
+            pair["engine_vs_spark_ctl"] = round(
+                pair["eff"] / pair["spark_ctl_eff"], 3
+            )
         if control:
             ctl_cmd = [
                 sys.executable,
@@ -385,6 +434,23 @@ def _scaling_payload(metric: str, pairs: list[dict], hi_lo: list[int],
             statistics.median(attrs), 3
         )
         payload["engine_attributable_spread"] = [min(attrs), max(attrs)]
+    if pairs and "spark_ctl_eff" in pairs[0]:
+        svs = [p["engine_vs_spark_ctl"] for p in pairs]
+        payload["spark_ctl_eff_median"] = round(
+            statistics.median(p["spark_ctl_eff"] for p in pairs), 3
+        )
+        payload["engine_vs_spark_ctl"] = round(statistics.median(svs), 3)
+        payload["engine_vs_spark_ctl_spread"] = [min(svs), max(svs)]
+    if pairs and "stage_eff" in pairs[0]:
+        keys = set().union(*(p["stage_eff"].keys() for p in pairs))
+        payload["stage_eff_median"] = {
+            k: round(
+                statistics.median(
+                    p["stage_eff"][k] for p in pairs if k in p["stage_eff"]
+                ), 3,
+            )
+            for k in sorted(keys)
+        }
     return payload
 
 
@@ -538,11 +604,48 @@ def main() -> None:
             shutil.rmtree(tmp, ignore_errors=True)
         site_path = prepare_site(spark)  # no-op: parent pre-generated
         pages = spark.read.parquet(site_path)
-        wall, n_extracted, waves = crawl_site_run(spark, pages, cpus)
+        wall, n_extracted, waves, stages = crawl_site_run(spark, pages, cpus)
         spark.stop()
         print(json.dumps({
             "sec": round(wall, 2), "pages": n_extracted, "waves": waves,
+            "stages": stages,
         }))
+        return
+
+    if "--spark-ctl-once" in sys.argv:
+        # Internal: the SPARK-SHAPED no-engine control (VERDICT r4 #1).
+        # The pure-Python control (scripts/scaling_control.py) samples the
+        # box's compute ceiling but exercises neither the JVM nor the
+        # memory-bandwidth-bound shuffle/write path — so it cannot see a
+        # host scale-UP bandwidth ceiling.  This control is Spark with
+        # ZERO engine code: scan the same generated-site parquet, shuffle
+        # the full byte volume on a hash key (the fetch join's exchange
+        # shape), write it back out as parquet — the scan→shuffle→write
+        # skeleton of one crawl wave with no frontier, dedup, politeness
+        # or Python stage.  If ITS hi/lo efficiency matches the whole
+        # crawl loop's, the loss is the host, not the engine.
+        cpus = int(sys.argv[sys.argv.index("--spark-ctl-once") + 1])
+        spark = _crawl_spark(cpus)
+        site_path = prepare_site(spark)  # no-op: parent pre-generated
+        parts = max(cpus, 8, N_PAGES // 250_000)
+        out_dir = os.path.join(
+            tempfile.gettempdir(), f"nfs_spark_ctl_out_{os.getpid()}"
+        )
+        pages = spark.read.parquet(site_path)
+        shuffled = pages.repartition(parts, F.xxhash64("url"))
+        try:
+            # warm-up: the same plan shape over a small slice (JIT, codecs,
+            # committer init) — mirrors --crawl-once's fixture warm-up
+            pages.limit(50_000).repartition(
+                parts, F.xxhash64("url")
+            ).write.mode("overwrite").parquet(out_dir)
+            t0 = time.time()
+            shuffled.write.mode("overwrite").parquet(out_dir)
+            sec = time.time() - t0
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+            spark.stop()
+        print(json.dumps({"sec": round(sec, 2)}))
         return
 
     if "--crawl-scale" in sys.argv or "--crawl-scale-bucketed" in sys.argv:
@@ -577,7 +680,7 @@ def main() -> None:
             pages = spark.table(table)
         else:
             pages = spark.read.parquet(site_path)
-        wall, n_extracted, waves = crawl_site_run(spark, pages, CPUS)
+        wall, n_extracted, waves, _stages = crawl_site_run(spark, pages, CPUS)
         out = {
             "metric": "crawl_pages_per_sec",
             "value": round(n_extracted / wall, 1),
@@ -608,7 +711,13 @@ def main() -> None:
 
         trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3"))
         control = os.environ.get("SPARK_GRAFT_SCALE_CONTROL", "1") != "0"
-        pairs = _paired_trials("--crawl-once", hi_lo, trials, control)
+        spark_control = (
+            os.environ.get("SPARK_GRAFT_SCALE_SPARK_CONTROL", "1") != "0"
+        )
+        pairs = _paired_trials(
+            "--crawl-once", hi_lo, trials, control,
+            spark_control=spark_control,
+        )
         payload = _scaling_payload(
             "crawl_scaling_efficiency", pairs, hi_lo,
             n_items=pairs[0].get("pages", N_PAGES), control=control,
