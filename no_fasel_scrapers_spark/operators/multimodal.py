@@ -8,9 +8,10 @@ signatures) is real and tested.  Three codecs decode for real in-sandbox:
   IDAT inflate, full scanline unfiltering (filter types 0-4 incl. Paeth)
   for 8-bit gray / gray+alpha / RGB / RGBA.  ``_decode_image_real`` returns
   the pixel array; ``png_encode`` writes spec-compliant files for fixtures.
-- **JPEG** — a stdlib+numpy baseline-DCT codec (``operators/jpeg.py``):
-  marker walk, canonical Huffman, dequant + IDCT, chroma upsampling.
-  Baseline sequential (SOF0) decodes for real; progressive/arithmetic
+- **JPEG** — a stdlib+numpy DCT codec (``operators/jpeg.py``): marker
+  walk, canonical Huffman, dequant + IDCT, chroma upsampling.  Baseline
+  sequential (SOF0) AND progressive (SOF2, spectral selection +
+  successive approximation) decode for real; arithmetic/extended
   honestly raise (``jpeg_header`` still reads their dimensions).
 - the deterministic **fake codec** (``fake_encode``) used where a real
   format would add nothing to the plumbing under test.
@@ -222,10 +223,10 @@ def png_decode(payload: bytes) -> np.ndarray:
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Real codec path: stdlib PNG + baseline JPEG decode in-sandbox;
-    remaining formats (webp/gif/...) need PIL (absent in this container →
-    NotImplementedError).  Progressive/arithmetic JPEG raises from inside
-    jpeg_decode with its own honest message."""
+    """Real codec path: stdlib PNG + baseline/progressive JPEG decode
+    in-sandbox; remaining formats (webp/gif/...) need PIL (absent in this
+    container → NotImplementedError).  Arithmetic/extended JPEG raises
+    from inside jpeg_decode with its own honest message."""
     if payload is not None and payload.startswith(PNG_SIG):
         return png_decode(payload)
     if payload is not None and payload.startswith(JPEG_SIG):

@@ -6,8 +6,18 @@ Absent from the reference (its only throttle is the Cloudflare cookie dance,
 - each host has ``crawl_delay_ms`` (robots table);
 - a host's budget is divided across its ``n_salts`` shards (a salted host
   fetches in parallel, so each shard spaces its fetches by
-  ``delay * n_salts`` — aggregate rate per host stays 1/delay; SURVEY.md
-  §7.3-3 documents the shard-boundary accuracy trade-off);
+  ``delay * n_salts`` — aggregate rate per host stays 1/delay);
+- shards are PHASE-OFFSET by their salt index:
+  ``scheduled_ms = (fetch_seq * n_salts + host_salt) * delay``.  Without
+  the offset every populated shard fires at the same multiples of
+  ``delay * n_salts`` — instantaneous bursts of up to S requests per
+  delay window (the accuracy loss SURVEY.md §7.3-3 documented as an
+  open trade-off).  With it, each shard owns a disjoint residue class of
+  the per-host delay grid, so any half-open window of width ``delay``
+  contains at most ONE fetch — exact budget compliance at any S; an
+  unevenly-filled shard only leaves its grid slots idle (rate under-use,
+  never overshoot).  Measured on a skewed host mix in
+  tests/test_politeness_accuracy.py; numbers cited in BENCH.md.
 - within a shard, fetch order is the deterministic frontier order, so the
   schedule itself is reproducible at any parallelism.
 
@@ -44,9 +54,10 @@ def schedule_fetches(
         joined.withColumn("fetch_seq", F.row_number().over(w) - 1)
         .withColumn(
             "scheduled_ms",
-            (F.col("fetch_seq") * F.col("crawl_delay_ms") * F.lit(n_salts)).cast(
-                "long"
-            ),
+            (
+                (F.col("fetch_seq") * F.lit(n_salts) + F.col("host_salt"))
+                * F.col("crawl_delay_ms")
+            ).cast("long"),
         )
     )
 
