@@ -26,12 +26,21 @@ Modes:
                                      # just the extract stage
     python bench.py --training-scale # corpus operators at ≥1M docs
 
+The --crawl-scaling lane additionally runs a SPARK-SHAPED no-engine
+control per trial (``--spark-ctl-once``: scan the site parquet → hash
+shuffle → parquet write, zero engine code) and a per-stage paired
+efficiency table from the lineage's t_ms marks — together they either
+attribute a sub-0.8 whole-loop ratio to the host's scale-up ceiling or
+localize it to a fixable stage (VERDICT r4 #1/#2).
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_BENCH_PAGES (default 1000000),
      SPARK_GRAFT_SCALE_LEVELS (e.g. "16,4"), SPARK_GRAFT_SCALE_TRIALS,
      SPARK_GRAFT_SCALE_RUNS (min-of-N per level, extract lane),
-     SPARK_GRAFT_SCALE_CONTROL=0 to skip the no-engine control.
+     SPARK_GRAFT_SCALE_CONTROL=0 to skip the no-engine control,
+     SPARK_GRAFT_SCALE_SPARK_CONTROL=0 to skip the Spark-shaped control,
+     SPARK_GRAFT_SPARK_CTL_REPS (timed repetitions inside it, default 3).
 """
 
 from __future__ import annotations
