@@ -258,9 +258,18 @@ def _mag_decode(raw: int, s: int) -> int:
 def _encode_block(
     coefs: np.ndarray, pred: int, dc_tab, ac_tab, bw: _BitWriter
 ) -> int:
-    """Huffman-encode one quantized 8×8 block; returns its DC for the
-    caller's predictor chain."""
-    zz = coefs[_ZZ_ROWS, _ZZ_COLS].astype(int)
+    """Huffman-encode one quantized 8×8 block (natural order); returns its
+    DC for the caller's predictor chain."""
+    return _encode_block_zz(
+        coefs[_ZZ_ROWS, _ZZ_COLS].astype(int), pred, dc_tab, ac_tab, bw
+    )
+
+
+def _encode_block_zz(
+    zz: np.ndarray, pred: int, dc_tab, ac_tab, bw: _BitWriter
+) -> int:
+    """Same, over a block already in zigzag order (the layout
+    ``_quantized_zz_blocks`` produces for both encoders)."""
     dc = int(zz[0])
     diff = dc - pred
     s = _category(diff)
@@ -443,7 +452,10 @@ def jpeg_encode(
     h, w, q, samp, planes, mcux, mcuy = _prep_components(
         arr, quant, subsampling
     )
-    comps = [(hs, vs, None) for hs, vs in samp]
+    # one FDCT+quantize kernel for BOTH encoders (_quantized_zz_blocks) —
+    # the progressive-equals-baseline pixel identity requires the two
+    # paths to share this arithmetic bit-for-bit
+    zzb = [_quantized_zz_blocks(p, q) for p in planes]
 
     dc_lum = _huff_codes(*_K3_DC_LUM)
     ac_lum = _huff_codes(*_K3_AC_LUM)
@@ -451,21 +463,17 @@ def jpeg_encode(
     ac_chr = _huff_codes(*_K3_AC_CHROM)
 
     bw = _BitWriter()
-    preds = [0] * len(comps)
+    preds = [0] * len(samp)
     for my in range(mcuy):
         for mx in range(mcux):
-            for ci, (hs, vs, _p) in enumerate(comps):
-                plane = planes[ci]
+            for ci, (hs, vs) in enumerate(samp):
                 dc_t = dc_lum if ci == 0 else dc_chr
                 ac_t = ac_lum if ci == 0 else ac_chr
                 for by in range(vs):
                     for bx in range(hs):
-                        y0 = (my * vs + by) * 8
-                        x0 = (mx * hs + bx) * 8
-                        block = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
-                        coefs = np.rint(_fdct(block) / q).astype(np.int32)
-                        preds[ci] = _encode_block(
-                            coefs, preds[ci], dc_t, ac_t, bw
+                        preds[ci] = _encode_block_zz(
+                            zzb[ci][my * vs + by, mx * hs + bx],
+                            preds[ci], dc_t, ac_t, bw,
                         )
     bw.flush()
 
@@ -473,17 +481,17 @@ def jpeg_encode(
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     zzq = bytes(int(q[_ZZ_ROWS[i], _ZZ_COLS[i]]) for i in range(64))
     out += _seg(DQT, bytes([0x00]) + zzq)
-    sof = struct.pack(">BHHB", 8, h, w, len(comps))
-    for ci, (hs, vs, _p) in enumerate(comps):
+    sof = struct.pack(">BHHB", 8, h, w, len(samp))
+    for ci, (hs, vs) in enumerate(samp):
         sof += bytes([ci + 1, hs << 4 | vs, 0])
     out += _seg(SOF0, sof)
     out += _seg(DHT, _dht_payload(0, 0, _K3_DC_LUM))
     out += _seg(DHT, _dht_payload(1, 0, _K3_AC_LUM))
-    if len(comps) > 1:
+    if len(samp) > 1:
         out += _seg(DHT, _dht_payload(0, 1, _K3_DC_CHROM))
         out += _seg(DHT, _dht_payload(1, 1, _K3_AC_CHROM))
-    sos = bytes([len(comps)])
-    for ci in range(len(comps)):
+    sos = bytes([len(samp)])
+    for ci in range(len(samp)):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
     sos += bytes([0, 63, 0])
     out += _seg(SOS, sos)
@@ -526,7 +534,20 @@ def jpeg_decode(payload: bytes) -> np.ndarray:
     AC first with EOB-run codes, AC refinement with correction bits —
     then one dequant+IDCT at EOI.  Raises ``NotImplementedError`` for
     extended-sequential/arithmetic/hierarchical streams and ``ValueError``
-    for malformed data."""
+    for malformed data — ALL malformed data: a truncated segment or an
+    undeclared table id surfaces inside the parser as IndexError /
+    KeyError / struct.error, and one bad real-web byte stream must
+    produce a NULL feature row (multimodal catches ValueError), never
+    kill the whole mapInPandas task."""
+    try:
+        return _jpeg_decode_impl(payload)
+    except (IndexError, KeyError, StopIteration, struct.error) as e:
+        raise ValueError(
+            f"malformed JPEG stream ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _jpeg_decode_impl(payload: bytes) -> np.ndarray:
     if payload is None or payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2

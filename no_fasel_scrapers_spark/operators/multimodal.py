@@ -273,7 +273,7 @@ def _pixel_bytes(payload: bytes) -> np.ndarray | None:
         try:
             return jpeg_decode(payload).ravel()
         except (ValueError, NotImplementedError):
-            # malformed or progressive/arithmetic stream: feature rows go
+            # malformed or arithmetic/hierarchical stream: feature rows go
             # NULL rather than failing the batch (header-only metadata is
             # still available upstream via decode_header)
             return None
@@ -337,10 +337,11 @@ def resize_stub(
     df: DataFrame, payload_col: str = "payload", width: int = 64, height: int = 64
 ) -> DataFrame:
     """Nearest-neighbor resize, payload-rewriting UDF shape (binary in →
-    binary out).  PNG in → PNG out and baseline JPEG in → JPEG out (real
-    decode + re-encode; JPEG re-encodes 4:4:4 at unit quant so the resize
-    itself is the only loss); fake codec in → fake codec out; anything
-    else (incl. progressive JPEG) → NULL."""
+    binary out).  PNG in → PNG out and JPEG in → JPEG out (real decode —
+    baseline SOF0 or progressive SOF2 since round 5 — then a baseline
+    4:4:4 unit-quant re-encode, so the resize itself is the only loss);
+    fake codec in → fake codec out; anything else (malformed streams,
+    arithmetic/hierarchical JPEG) → NULL."""
     cols = df.columns
 
     def _run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:

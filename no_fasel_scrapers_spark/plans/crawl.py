@@ -502,7 +502,10 @@ def run_crawl(
         n_blocked = n_wave - n_allowed
         n_fresh = _obs_n(obs_sched, scheduled)
         seen_count += n_fresh
-        n_hit = int(obs_hit.get["n"] or 0)
+        # obs_hit rides the SAME write plan AQE can rewrite around the
+        # CollectMetrics nodes on a degenerate empty wave — fall back like
+        # the other three (the recount reads the tiny written snapshot)
+        n_hit = _obs_n(obs_hit, wave_ex.filter(F.col("text").isNotNull()))
         # lineage keeps the top-K busiest hosts, not every host: at crawl
         # scale a wave can touch millions of hosts and an unbounded collect
         # would be a driver OOM; the full per-host distribution stays

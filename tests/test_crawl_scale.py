@@ -109,21 +109,32 @@ def test_bucketed_corpus_fetch_join_has_no_html_exchange(spark, tmp_path):
         # hint on the SLIM side (BuildLeft) — mirrors plans/crawl.py: the
         # hash relation holds url rows, the bucketed HTML side streams
         j = sched.hint("SHUFFLE_HASH").join(pages_wave, "url_hash", "left")
-        plan = j._jdf.queryExecution().executedPlan().toString()
-        assert "Bucketed: true" in plan
-        # exactly one hash exchange, and it is the slim side (no html col)
         import re
 
-        exchanges = [
-            ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
-        ]
+        # formatted explain: each node block lists its full Input/Output
+        # schema.  ShuffleExchangeExec's one-line toString prints only the
+        # partitioning expression — never payload columns — so a per-line
+        # 'html not in exchange line' check is vacuous (round-5 review
+        # find); the formatted block is the real property.
+        qe = j._jdf.queryExecution()
+        jvm = spark.sparkContext._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        fmt = qe.explainString(mode)
+        assert "Bucketed: true" in fmt
+        blocks = fmt.split("\n\n")
+        exchanges = [b for b in blocks if re.match(r"\(\d+\) Exchange", b)]
         assert len(exchanges) == 1
-        # the one exchange is the SLIM side: no html column rides it
-        # (ADVICE r4 — pin the property directly, not just the count)
-        for ln in exchanges:
-            assert "html" not in ln
-        scan_line = next(ln for ln in plan.splitlines() if "FileScan" in ln)
-        assert "html" in scan_line  # html flows ONLY through the bucketed scan
+        # the one hash exchange is the SLIM side: its input schema is the
+        # scheduled url_hash row; html never rides it (ADVICE r4, pinned
+        # on the node's actual Input list)
+        assert "html" not in exchanges[0]
+        assert "url_hash" in exchanges[0]
+        scan = next(b for b in blocks if re.match(r"\(\d+\) Scan parquet", b))
+        assert "html" in scan  # html flows ONLY through the bucketed scan
+        # and the SHJ builds the preserved (slim) side, streaming the HTML
+        assert "ShuffledHashJoin LeftOuter BuildLeft" in fmt
     finally:
         spark.sql("DROP TABLE IF EXISTS t_fetch_bucketed")
 

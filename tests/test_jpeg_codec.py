@@ -128,6 +128,32 @@ def test_malformed_progressive_scan_raises():
         jpeg_decode(bytes(payload))
 
 
+def test_malformed_progressive_raises_valueerror_not_indexerror():
+    """Any malformed real-web stream must surface as ValueError — the type
+    multimodal's NULL-row guard catches — never a raw IndexError/KeyError
+    from the parser internals, which would kill the whole mapInPandas task
+    (round-5 review find; both repros escaped the guard before the
+    jpeg_decode boundary wrapper)."""
+    img = _block_constant(1, 2, seed=3)
+    good = bytes(jpeg_encode_progressive(img, quant=1))
+    idx = good.find(b"\xff\xda")
+    assert idx > 0
+
+    # (a) SOS length field truncates the Ss/Se/AhAl parameter bytes:
+    # seg keeps only [ns, cs, tdta], so seg[1+2*ns] used to IndexError.
+    trunc = bytearray(good)
+    struct.pack_into(">H", trunc, idx + 2, 5)
+    with pytest.raises(ValueError, match="malformed JPEG"):
+        jpeg_decode(bytes(trunc))
+
+    # (b) scan references a Huffman table id never declared by any DHT:
+    # htabs[(0, 3)] used to KeyError.
+    badtab = bytearray(good)
+    badtab[idx + 6] = 0x33  # first scan component's Td/Ta -> table 3/3
+    with pytest.raises(ValueError, match="malformed JPEG"):
+        jpeg_decode(bytes(badtab))
+
+
 def test_header_rejects_non_jpeg():
     assert jpeg_header(b"notajpeg") is None
     assert jpeg_header(None) is None

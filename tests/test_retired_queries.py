@@ -21,9 +21,6 @@ import pytest
 import __spark_entry__ as E
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
-# the analytic VALUES oracles (embedding_near_dup_recall) bake data from a
-# parquet dir at build time — pin them to the same sf the Spark side reads
-os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = SF_DIR
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -58,7 +55,13 @@ def test_registry_is_exactly_50_and_fully_oracle_checked():
                                   "cosine_pairs_exact", "ann_bruteforce",
                                   "chunk_documents", "intersect_keys",
                                   "embedding_near_dup_recall"])
-def test_retired_query_matches_oracle(spark, con, name):
+def test_retired_query_matches_oracle(spark, con, name, monkeypatch):
+    # the analytic VALUES oracles (embedding_near_dup_recall) bake data
+    # from a parquet dir at oracle-BUILD time — pin them to the same sf
+    # the Spark side reads, scoped to this test only (a module-level
+    # os.environ assignment ran at pytest collection and leaked the
+    # override into every other test module; round-5 review find)
+    monkeypatch.setenv("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
     sdf = E.retired_queries()[name](spark, SF_DIR).toPandas()
     odf = con.execute(E.retired_oracle_sql()[name]).df()
     assert sorted(sdf.columns) == sorted(odf.columns)
