@@ -1509,10 +1509,15 @@ def q_media_features(spark, sf_dir):
     DC-only with integer DC — encode→decode is bit-exact by construction
     (jpeg.py module docstring), so the arithmetic twin predicts the
     decoded pixels while the engine walks the real marker / Huffman /
-    dequant / IDCT path.  Remaining rows use the fake codec."""
+    dequant / IDCT path.  Docs with doc_id % 5 == 2 carry a REAL GIF
+    (operators/gif.py, round 5 — completes the web-image trio): LZW is
+    lossless, so the twin predicts the palette-expanded RGB pixels while
+    the engine walks the real descriptor / sub-block / LZW / palette
+    path.  Remaining rows use the fake codec."""
     import numpy as np
     import pandas as pd
 
+    from no_fasel_scrapers_spark.operators.gif import gif_encode
     from no_fasel_scrapers_spark.operators.jpeg import jpeg_encode
     from no_fasel_scrapers_spark.operators.multimodal import (
         extract_features,
@@ -1549,6 +1554,12 @@ def q_media_features(spark, sf_dir):
             )
             body = (rng >> 24).astype(np.uint8).reshape(h, w, c)
             return png_encode(body)
+        if i % 5 == 2:
+            rng = (
+                np.arange(w * h, dtype=np.uint32) * np.uint32(2654435761)
+                + np.uint32(seed)
+            )
+            return gif_encode((rng >> 24).astype(np.uint8).reshape(h, w))
         return fake_encode(w, h, 1, seed)
 
     def _gen(batches):

@@ -2,7 +2,7 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schema, partitioning, Arrow batch shape, UDF
-signatures) is real and tested.  Three codecs decode for real in-sandbox:
+signatures) is real and tested.  Four codecs decode for real in-sandbox:
 
 - **PNG** — a stdlib-only (zlib + struct) decoder: chunk walk, IHDR parse,
   IDAT inflate, full scanline unfiltering (filter types 0-4 incl. Paeth)
@@ -13,6 +13,10 @@ signatures) is real and tested.  Three codecs decode for real in-sandbox:
   sequential (SOF0) AND progressive (SOF2, spectral selection +
   successive approximation) decode for real; arithmetic/extended
   honestly raise (``jpeg_header`` still reads their dimensions).
+- **GIF** — a stdlib+numpy LZW codec (``operators/gif.py``): screen
+  descriptor, global/local color tables, extension skipping, real LZW
+  both directions (width growth to 12 bits, table-full clears); first
+  frame decodes to palette-expanded RGB, interlace honestly raises.
 - the deterministic **fake codec** (``fake_encode``) used where a real
   format would add nothing to the plumbing under test.
 
@@ -36,6 +40,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from no_fasel_scrapers_spark.operators.gif import (
+    GIF_SIGS,
+    gif_decode,
+    gif_encode,
+    gif_header,
+)
 from no_fasel_scrapers_spark.operators.jpeg import (
     jpeg_decode,
     jpeg_encode,
@@ -223,19 +233,22 @@ def png_decode(payload: bytes) -> np.ndarray:
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
-    """Real codec path: stdlib PNG + baseline/progressive JPEG decode
-    in-sandbox; remaining formats (webp/gif/...) need PIL (absent in this
-    container → NotImplementedError).  Arithmetic/extended JPEG raises
-    from inside jpeg_decode with its own honest message."""
+    """Real codec path: stdlib PNG + baseline/progressive JPEG + GIF decode
+    in-sandbox; remaining formats (webp/avif/...) need PIL (absent in this
+    container → NotImplementedError).  Arithmetic/extended JPEG and
+    interlaced GIF raise from inside their decoders with their own honest
+    messages."""
     if payload is not None and payload.startswith(PNG_SIG):
         return png_decode(payload)
     if payload is not None and payload.startswith(JPEG_SIG):
         return jpeg_decode(payload)
+    if payload is not None and payload[:6] in GIF_SIGS:
+        return gif_decode(payload)
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "non-PNG/JPEG image decode needs PIL; PNG and baseline JPEG "
+            "non-PNG/JPEG/GIF image decode needs PIL; PNG, JPEG and GIF "
             "decode via the stdlib paths, other formats use the fake "
             "codec (fake_encode) in this environment"
         ) from e
@@ -251,6 +264,9 @@ def decode_header(payload: bytes) -> dict:
         return {"width": jpg["width"], "height": jpg["height"],
                 "channels": jpg["channels"], "n_bytes": len(payload),
                 "codec": "jpeg"}
+    gif = gif_header(payload) if payload is not None else None
+    if gif is not None:
+        return {**gif, "n_bytes": len(payload), "codec": "gif"}
     if payload is None or len(payload) < 9 or payload[:4] != MAGIC:
         return {"width": None, "height": None, "channels": None,
                 "n_bytes": None if payload is None else len(payload),
@@ -276,6 +292,12 @@ def _pixel_bytes(payload: bytes) -> np.ndarray | None:
             # malformed or arithmetic/hierarchical stream: feature rows go
             # NULL rather than failing the batch (header-only metadata is
             # still available upstream via decode_header)
+            return None
+    if payload[:6] in GIF_SIGS:
+        try:
+            return gif_decode(payload).ravel()
+        except (ValueError, NotImplementedError):
+            # malformed or interlaced stream: NULL, same contract as JPEG
             return None
     if len(payload) > 9 and payload[:4] == MAGIC:
         return np.frombuffer(payload, dtype=np.uint8, offset=9)
@@ -337,11 +359,13 @@ def resize_stub(
     df: DataFrame, payload_col: str = "payload", width: int = 64, height: int = 64
 ) -> DataFrame:
     """Nearest-neighbor resize, payload-rewriting UDF shape (binary in →
-    binary out).  PNG in → PNG out and JPEG in → JPEG out (real decode —
+    binary out).  PNG in → PNG out, JPEG in → JPEG out (real decode —
     baseline SOF0 or progressive SOF2 since round 5 — then a baseline
-    4:4:4 unit-quant re-encode, so the resize itself is the only loss);
-    fake codec in → fake codec out; anything else (malformed streams,
-    arithmetic/hierarchical JPEG) → NULL."""
+    4:4:4 unit-quant re-encode, so the resize itself is the only loss)
+    and GIF in → GIF out (lossless roundtrip: the resized frame's colors
+    are a subset of the source palette, always re-encodable); fake codec
+    in → fake codec out; anything else (malformed streams,
+    arithmetic/hierarchical JPEG, interlaced GIF) → NULL."""
     cols = df.columns
 
     def _run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -355,6 +379,12 @@ def resize_stub(
                 elif m["codec"] == "jpeg":
                     try:
                         body = jpeg_decode(p)
+                    except (ValueError, NotImplementedError):
+                        resized.append(None)
+                        continue
+                elif m["codec"] == "gif":
+                    try:
+                        body = gif_decode(p)
                     except (ValueError, NotImplementedError):
                         resized.append(None)
                         continue
@@ -376,6 +406,8 @@ def resize_stub(
                     resized.append(
                         jpeg_encode(sq, quant=1, subsampling="4:4:4")
                     )
+                elif m["codec"] == "gif":
+                    resized.append(gif_encode(small))
                 else:
                     resized.append(
                         MAGIC

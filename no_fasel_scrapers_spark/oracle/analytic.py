@@ -537,11 +537,14 @@ def doc_fingerprints_sql(sf: str | None = None) -> str:
 
 def media_features_rows(sf: str, n_bins: int = 16):
     """Mirror of q_media_features: every 5th doc is a REAL PNG payload
-    (channels 1 + doc_id % 3) and doc_id % 5 == 1 is a REAL baseline JPEG
+    (channels 1 + doc_id % 3), doc_id % 5 == 1 is a REAL baseline JPEG
     (block-constant gray at unit quant — bit-exact by the DC-only
-    argument in operators/jpeg.py); the twin computes features from the
-    arithmetic PIXELS directly — the Spark side only matches if its
-    stdlib PNG inflate→unfilter / JPEG Huffman→IDCT roundtrips are
+    argument in operators/jpeg.py) and doc_id % 5 == 2 is a REAL GIF
+    (gray source through the identity 256-gray palette — LZW is
+    lossless, so the decoded RGB is each gray value tripled); the twin
+    computes features from the arithmetic PIXELS directly — the Spark
+    side only matches if its stdlib PNG inflate→unfilter / JPEG
+    Huffman→IDCT / GIF sub-block→LZW→palette roundtrips are
     bit-exact."""
     out = []
     for doc_id, _text, _lang in _docs(sf):
@@ -559,15 +562,25 @@ def media_features_rows(sf: str, n_bins: int = 16):
             codec, c = "jpeg", 1
         else:
             w, h = 16 + doc_id % 16, 8 + doc_id % 8
-            is_png = doc_id % 5 == 0
-            c = 1 + doc_id % 3 if is_png else 1
-            n = w * h * c
+            lane = doc_id % 5
+            gen_c = 1 + doc_id % 3 if lane == 0 else 1
+            n = w * h * gen_c
             rng = (
                 np.arange(n, dtype=np.uint32) * np.uint32(2654435761)
                 + np.uint32(seed)
             )
             body = (rng >> 24).astype(np.uint8)
-            codec = "png" if is_png else "nfsi-fake"
+            if lane == 0:
+                codec, c = "png", gen_c
+            elif lane == 2:
+                # GIF decodes to palette-expanded RGB: each gray value
+                # lands in all three channels, so every histogram bucket
+                # triples and the normalized features are unchanged —
+                # but channel count and the raveled body are RGB
+                codec, c = "gif", 3
+                body = np.repeat(body, 3)
+            else:
+                codec, c = "nfsi-fake", 1
         hist, _ = np.histogram(body, bins=n_bins, range=(0, 256))
         total = hist.sum() or 1
         f0 = float(np.float32(hist[0] / total))
