@@ -289,26 +289,41 @@ def gif_header(payload: bytes) -> dict | None:
     return {"width": w, "height": h, "channels": 3}
 
 
-def gif_decode(payload: bytes) -> np.ndarray:
-    """Decode the FIRST frame of a GIF → (h, w, 3) uint8 RGB.
+def _need(payload: bytes, pos: int, n: int, what: str) -> None:
+    """Bounds guard: every fixed-width read raises ValueError on
+    truncation — the multimodal handlers' 'malformed stream → NULL row'
+    contract catches (ValueError, NotImplementedError), never
+    struct.error/IndexError."""
+    if pos + n > len(payload):
+        raise ValueError(f"GIF: truncated at {what} (offset {pos})")
 
-    Extensions are skipped; interlaced frames raise (honest stub — the
-    four-pass row shuffle is rare on the modern web); animation beyond
-    frame 0 is ignored by design (``sample_frames`` owns frame
-    iteration for the video family)."""
+
+def gif_decode(payload: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF → (screen_h, screen_w, 3) uint8 RGB.
+
+    The frame rect is composited at its (left, top) offset onto a
+    background-color canvas of the LOGICAL SCREEN size, so the output
+    shape always agrees with ``gif_header``'s dimensions even for the
+    common frame-smaller-than-screen optimization.  Extensions are
+    skipped; interlaced frames raise (honest stub — the four-pass row
+    shuffle is rare on the modern web); animation beyond frame 0 is
+    ignored by design (``sample_frames`` owns frame iteration for the
+    video family)."""
     hdr = gif_header(payload)
     if hdr is None:
         raise ValueError("not a GIF payload")
+    sw, sh = hdr["width"], hdr["height"]
     pos = 10
     flags = payload[pos]
+    bg_index = payload[pos + 1]
     pos += 3  # flags, background index, aspect ratio
     gct: np.ndarray | None = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
-        gct = np.frombuffer(payload[pos : pos + 3 * n], dtype=np.uint8)
-        if len(gct) != 3 * n:
-            raise ValueError("GIF: truncated global color table")
-        gct = gct.reshape(n, 3)
+        _need(payload, pos, 3 * n, "global color table")
+        gct = np.frombuffer(
+            payload[pos : pos + 3 * n], dtype=np.uint8
+        ).reshape(n, 3)
         pos += 3 * n
     while pos < len(payload):
         block = payload[pos]
@@ -316,23 +331,23 @@ def gif_decode(payload: bytes) -> np.ndarray:
         if block == _TRAILER:
             break
         if block == _EXTENSION:
-            pos += 1  # extension label
+            _need(payload, pos, 1, "extension label")
+            pos += 1
             _, pos = _read_blocks(payload, pos)
             continue
         if block != _IMAGE_SEP:
             raise ValueError(f"GIF: unknown block 0x{block:02x} at {pos - 1}")
+        _need(payload, pos, 9, "image descriptor")
         left, top, w, h = struct.unpack("<HHHH", payload[pos : pos + 8])
         iflags = payload[pos + 8]
         pos += 9
         palette = gct
         if iflags & 0x80:  # local color table
             n = 2 << (iflags & 0x07)
+            _need(payload, pos, 3 * n, "local color table")
             palette = np.frombuffer(
                 payload[pos : pos + 3 * n], dtype=np.uint8
-            )
-            if len(palette) != 3 * n:
-                raise ValueError("GIF: truncated local color table")
-            palette = palette.reshape(n, 3)
+            ).reshape(n, 3)
             pos += 3 * n
         if iflags & 0x40:
             raise NotImplementedError(
@@ -342,6 +357,12 @@ def gif_decode(payload: bytes) -> np.ndarray:
             )
         if palette is None:
             raise ValueError("GIF: frame has no color table")
+        if left + w > sw or top + h > sh:
+            raise ValueError(
+                f"GIF: frame rect {w}x{h}@({left},{top}) exceeds the "
+                f"{sw}x{sh} logical screen"
+            )
+        _need(payload, pos, 1, "LZW min code size")
         mcs = payload[pos]
         pos += 1
         stream, pos = _read_blocks(payload, pos)
@@ -352,5 +373,12 @@ def gif_decode(payload: bytes) -> np.ndarray:
             )
         if idx.max(initial=0) >= len(palette):
             raise ValueError("GIF: palette index out of range")
-        return palette[idx].reshape(h, w, 3)
+        bg = (
+            gct[bg_index]  # background index refers to the GLOBAL table
+            if gct is not None and bg_index < len(gct)
+            else np.zeros(3, dtype=np.uint8)
+        )
+        out = np.broadcast_to(bg, (sh, sw, 3)).copy()
+        out[top : top + h, left : left + w] = palette[idx].reshape(h, w, 3)
+        return out
     raise ValueError("GIF: no image descriptor before trailer")

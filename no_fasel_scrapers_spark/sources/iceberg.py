@@ -29,7 +29,20 @@ Semantics mapping (local backend → Iceberg, one-to-one):
 - ``merge``      → ``MERGE INTO``; ``new_wins`` maps to
   ``WHEN MATCHED THEN UPDATE`` + insert, old-wins to insert-only — the
   exact precedence pair of ``operators/merge.union_with_precedence``.
-- ``snapshots``  → the ``<table>.snapshots`` metadata table.
+- ``snapshots``  → the ``<table>.snapshots`` metadata table, ordered by
+  the parent-id lineage chain (commit timestamps have millisecond
+  resolution and snapshot ids are random longs — wall-clock order is
+  not commit order).
+
+Documented divergence: Iceberg's incremental scan (what ``read`` and
+``read_log`` compile to) only supports APPEND snapshots, so a table that
+has received a ``merge`` commit must be read with ``read_union`` (the
+current state — which is also what the local backend's post-merge
+``read`` returns); ``read``/``read_log`` raise a descriptive error if
+their scan range contains a non-append commit rather than letting
+Iceberg fail deep in planning.  The crawl plans never mix the two styles
+on one table (``merge`` is the derived-jobs API; the wave tables are
+pure appends).
 
 Everything statement-shaped is built by PURE functions below so the
 binding's logic is unit-tested jar-free (tests/test_iceberg_binding.py);
@@ -88,11 +101,39 @@ def snapshot_props(meta: dict | None, kind: str | None = None) -> dict[str, str]
 
 
 def snapshots_sql(ident: str) -> str:
-    """Ordered snapshot listing from the metadata table (oldest first)."""
+    """Snapshot listing from the metadata table; lineage order is
+    reconstructed by ``lineage_order`` from parent ids (committed_at is
+    millisecond-resolution and snapshot ids are random — neither is a
+    reliable commit order on its own)."""
     return (
         "SELECT snapshot_id, parent_id, committed_at, operation, summary "
         f"FROM {ident}.snapshots ORDER BY committed_at, snapshot_id"
     )
+
+
+def lineage_order(pairs: list[tuple[int, int | None]]) -> list[int]:
+    """Order snapshot ids oldest-first by walking the parent-id chain.
+
+    ``pairs`` is (snapshot_id, parent_id) in any order.  Falls back to
+    the input order when the history is not a single linear chain (a
+    rollback/branch left orphaned snapshots — at that point commit
+    timestamps are the only signal, and the caller's SQL already sorted
+    by them)."""
+    ids = {sid for sid, _ in pairs}
+    child_of: dict[int | None, int] = {}
+    for sid, parent in pairs:
+        key = parent if parent in ids else None
+        if key in child_of:  # two roots or a branch: not linear
+            return [sid for sid, _ in pairs]
+        child_of[key] = sid
+    out: list[int] = []
+    cur = child_of.get(None)
+    while cur is not None:
+        out.append(cur)
+        cur = child_of.get(cur)
+    if len(out) != len(pairs):  # cycle or disconnected chain
+        return [sid for sid, _ in pairs]
+    return out
 
 
 def merge_sql(
@@ -111,16 +152,15 @@ def merge_sql(
     )
 
 
-def parse_marker_base(
-    snapshots: list[tuple[int, dict]],
-) -> int | None:
-    """Given (snapshot_id, summary) oldest-first, the snapshot id of the
-    newest base/compact marker — read_log's restart point — or None.
-    Mirrors Catalog.read_log's 'last marker wins' scan."""
-    base = None
-    for sid, summary in snapshots:
-        if (summary or {}).get(_MARKER_PROP) in ("base", "compact"):
-            base = sid
+def marker_base_index(snaps: list[Snapshot]) -> int:
+    """Index of the newest base/compact marker in an oldest-first
+    snapshot list — read_log's restart point; 0 when unmarked.  Same
+    'last marker wins' scan as ``Catalog.read_log`` (catalog.py:168),
+    over the same decoded ``Snapshot.meta`` representation."""
+    base = 0
+    for i, s in enumerate(snaps):
+        if s.meta.get("kind") in ("base", "compact"):
+            base = i
     return base
 
 
@@ -165,25 +205,30 @@ class IcebergCatalog:
     # -- snapshot resolution ----------------------------------------------
     def snapshots(self, name: str) -> list[Snapshot]:
         rows = self.spark.sql(snapshots_sql(self._ident(name))).collect()
-        out = []
+        by_id = {}
         for r in rows:
             summary = dict(r.summary or {})
-            out.append(
-                Snapshot(
-                    version=r.snapshot_id,
-                    rows=int(summary.get("total-records", -1)),
-                    meta=summary_meta(summary),
-                    path=self._ident(name),
-                )
+            meta = summary_meta(summary)
+            # reserved key so read()/read_log() can guard their
+            # incremental scans against non-append commits
+            meta["iceberg-operation"] = r.operation
+            by_id[r.snapshot_id] = Snapshot(
+                version=r.snapshot_id,
+                # per-commit delta, matching the local manifest's rows
+                # (total-records is the cumulative table size)
+                rows=int(summary.get("added-records", -1)),
+                meta=meta,
+                path=self._ident(name),
             )
-        return out
+        order = lineage_order([(r.snapshot_id, r.parent_id) for r in rows])
+        return [by_id[sid] for sid in order]
 
     def latest(self, name: str) -> Snapshot | None:
         snaps = self.snapshots(name)
         return snaps[-1] if snaps else None
 
     def exists(self, name: str) -> bool:
-        return self.spark.catalog.tableExists(f"{self.namespace}.{name}")
+        return self.spark.catalog.tableExists(self._ident(name))
 
     # -- IO ------------------------------------------------------------------
     def write(
@@ -216,7 +261,9 @@ class IcebergCatalog:
     ) -> DataFrame:
         """ONLY the requested (default latest) snapshot's appended rows —
         the Iceberg incremental scan standing in for the local backend's
-        single version directory."""
+        single version directory.  The FIRST snapshot time-travels
+        instead (its delta is the whole table as of it, and Iceberg
+        rejects an incremental scan with only end-snapshot-id)."""
         snaps = self.snapshots(name)
         if not snaps:
             raise FileNotFoundError(f"table {name!r} has no snapshot")
@@ -224,12 +271,25 @@ class IcebergCatalog:
             s for s in snaps if s.version == version
         )
         idx = snaps.index(snap)
-        reader = spark.read.format("iceberg").option(
-            "end-snapshot-id", snap.version
+        if idx == 0:
+            return (
+                spark.read.format("iceberg")
+                .option("snapshot-id", snap.version)
+                .load(self._ident(name))
+            )
+        if snap.meta.get("iceberg-operation") != "append":
+            raise ValueError(
+                f"snapshot {snap.version} of {name!r} is a "
+                f"{snap.meta.get('iceberg-operation')} commit; Iceberg "
+                "incremental scans only support appends — read the "
+                "current state with read_union instead"
+            )
+        return (
+            spark.read.format("iceberg")
+            .option("start-snapshot-id", snaps[idx - 1].version)
+            .option("end-snapshot-id", snap.version)
+            .load(self._ident(name))
         )
-        if idx > 0:
-            reader = reader.option("start-snapshot-id", snaps[idx - 1].version)
-        return reader.load(self._ident(name))
 
     def read_union(self, spark: SparkSession, name: str) -> DataFrame:
         if not self.exists(name):
@@ -240,17 +300,21 @@ class IcebergCatalog:
         snaps = self.snapshots(name)
         if not snaps:
             raise FileNotFoundError(f"table {name!r} has no snapshot")
-        base = parse_marker_base(
-            [(s.version, {_MARKER_PROP: s.meta["kind"]} if "kind" in s.meta
-              else {}) for s in snaps]
-        )
-        idx = 0 if base is None else next(
-            i for i, s in enumerate(snaps) if s.version == base
-        )
+        idx = marker_base_index(snaps)
         if idx == 0:
             # no marker, or the marker is the very first snapshot: the log
             # is the whole table
             return spark.read.table(self._ident(name))
+        bad = [
+            s.version for s in snaps[idx:]
+            if s.meta.get("iceberg-operation") != "append"
+        ]
+        if bad:
+            raise ValueError(
+                f"log range of {name!r} contains non-append commits "
+                f"{bad}; Iceberg incremental scans only support appends "
+                "— read the current state with read_union instead"
+            )
         # incremental scan is EXCLUSIVE of start: pass the marker's parent
         # so the marker snapshot itself is included, matching
         # Catalog.read_log's snaps[base:] slice

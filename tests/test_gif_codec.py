@@ -177,6 +177,52 @@ def test_decode_rejects_truncation_and_garbage():
         gif_decode(b"not a gif at all")
 
 
+def test_truncation_always_raises_value_error_never_struct_or_index():
+    # the multimodal handlers catch (ValueError, NotImplementedError); a
+    # struct.error or IndexError would crash the whole Arrow batch — cut
+    # the payload at EVERY offset and demand the contract holds
+    payload = gif_encode(_gray(10, 10))
+    for cut in range(len(payload)):
+        try:
+            gif_decode(payload[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+        # any other exception type propagates and fails the test
+
+
+def test_frame_rect_composites_onto_logical_screen():
+    # hand-shrink the frame: re-point the descriptor at a 2x3 rect at
+    # (1, 2) inside the 6x6 screen and re-encode a matching LZW stream
+    img = _gray(3, 2, seed=5)  # 3 rows x 2 cols
+    full = gif_encode(np.zeros((6, 6), np.uint8))
+    sep = 13 + 3 * 256
+    assert full[sep] == 0x2C
+    desc = struct.pack("<HHHH", 1, 2, 2, 3) + b"\x00"  # left,top,w,h,flags
+    from no_fasel_scrapers_spark.operators.gif import _blocks, lzw_encode
+
+    body = bytes([8]) + _blocks(lzw_encode(img.ravel().tobytes(), 8))
+    payload = full[:sep] + bytes([0x2C]) + desc + body + bytes([0x3B])
+    out = gif_decode(payload)
+    assert out.shape == (6, 6, 3)  # logical screen, not frame rect
+    assert np.array_equal(out[2:5, 1:3, 0], img)
+    # background fill = GCT[background index] = gray 0
+    mask = np.ones((6, 6), bool)
+    mask[2:5, 1:3] = False
+    assert (out[mask] == 0).all()
+
+
+def test_frame_rect_exceeding_screen_raises():
+    full = gif_encode(np.zeros((4, 4), np.uint8))
+    sep = 13 + 3 * 256
+    desc = struct.pack("<HHHH", 2, 2, 4, 4) + b"\x00"  # overflows 4x4
+    from no_fasel_scrapers_spark.operators.gif import _blocks, lzw_encode
+
+    body = bytes([8]) + _blocks(lzw_encode(bytes(16), 8))
+    payload = full[:sep] + bytes([0x2C]) + desc + body + bytes([0x3B])
+    with pytest.raises(ValueError, match="exceeds"):
+        gif_decode(payload)
+
+
 # ---------------------------------------------------------------------------
 # multimodal wiring
 # ---------------------------------------------------------------------------

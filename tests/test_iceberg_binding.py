@@ -7,11 +7,13 @@ seam the module exists to document and close on a real cluster.
 
 import pytest
 
+from no_fasel_scrapers_spark.sources.catalog import Snapshot
 from no_fasel_scrapers_spark.sources.iceberg import (
     IcebergCatalog,
     iceberg_available,
+    lineage_order,
+    marker_base_index,
     merge_sql,
-    parse_marker_base,
     quote_ident,
     snapshot_props,
     snapshots_sql,
@@ -74,20 +76,41 @@ def test_merge_sql_precedences():
     assert "WHEN MATCHED" not in old_wins
 
 
-def test_parse_marker_base_last_marker_wins():
+def _snap(version, meta):
+    return Snapshot(version=version, rows=0, meta=meta, path="t")
+
+
+def test_marker_base_index_last_marker_wins():
     snaps = [
-        (10, {}),
-        (11, {"nfs-kind": "base"}),
-        (12, {}),
-        (13, {"nfs-kind": "compact"}),
-        (14, {}),
+        _snap(10, {}),
+        _snap(11, {"kind": "base"}),
+        _snap(12, {}),
+        _snap(13, {"kind": "compact"}),
+        _snap(14, {}),
     ]
-    assert parse_marker_base(snaps) == 13
-    assert parse_marker_base([(1, {}), (2, None)]) is None
-    assert parse_marker_base([]) is None
+    assert marker_base_index(snaps) == 3
+    assert marker_base_index([_snap(1, {}), _snap(2, {})]) == 0
+    assert marker_base_index([]) == 0
     # mirrors Catalog.read_log: marker KINDS other than base/compact are
     # ordinary snapshots
-    assert parse_marker_base([(1, {"nfs-kind": "delta"})]) is None
+    assert marker_base_index([_snap(1, {}), _snap(2, {"kind": "delta"})]) == 0
+
+
+def test_lineage_order_walks_parent_chain():
+    # random ids, shuffled input, same-millisecond-safe: only parent ids
+    # determine the order
+    pairs = [(77, 903), (903, None), (12, 77), (5, 12)]
+    assert lineage_order(pairs) == [903, 77, 12, 5]
+    assert lineage_order([]) == []
+    assert lineage_order([(9, None)]) == [9]
+    # expired parent (snapshot GC'd away): the oldest survivor roots the
+    # chain
+    assert lineage_order([(3, 2), (4, 3)]) == [3, 4]
+    # branched history falls back to the SQL's committed_at order
+    branched = [(1, None), (2, 1), (3, 1)]
+    assert lineage_order(branched) == [1, 2, 3]
+    # two roots (disconnected) likewise
+    assert lineage_order([(1, None), (2, None)]) == [1, 2]
 
 
 # ---------------------------------------------------------------------------
@@ -127,9 +150,12 @@ def test_live_write_read_snapshot_meta(spark, live_catalog):
         spark.range(5, 8).withColumnRenamed("id", "url_hash"),
         "roundtrip", meta={"wave": 1},
     )
-    # read() = latest snapshot's delta; read_union() = everything
+    # read() = latest snapshot's delta; read_union() = everything;
+    # Snapshot.rows = the per-commit delta (added-records), like the
+    # local manifest — run_crawl's frontier-empty detection depends on it
     assert live_catalog.read(spark, "roundtrip").count() == 3
     assert live_catalog.read_union(spark, "roundtrip").count() == 8
+    assert live_catalog.latest("roundtrip").rows == 3
 
 
 def test_live_read_log_honors_markers(spark, live_catalog):
