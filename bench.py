@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "vocab_top_terms",
     "sample_stratified",
+    "pii_scrub",
 ]
 
 

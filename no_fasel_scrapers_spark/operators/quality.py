@@ -308,3 +308,46 @@ def line_dedup(
         )
     )
     return rebuilt
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# (name, pattern, replacement) — applied in order.  The patterns are
+# deliberately simple and engine-portable (no lookaround, no \b, ASCII
+# classes only — identical semantics under Java regex and RE2, the
+# whitespace-class lesson of round 3); production deployments drop in
+# their own battle-tested pattern set through the same chain.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]+", "<EMAIL>"),
+    ("ip", r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+[0-9]{7,15}", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII spans (emails, IPv4s, international phone numbers) and
+    count them per document — the scrubbing stage every public
+    training-data pipeline runs before release (e.g. Dolma, "Dolma: an
+    Open Corpus of Three Trillion Tokens...", Soldaini et al. 2024, §2
+    anonymization; the reference engine has no corpus-release notion —
+    this is a training-pipeline addition).
+
+    Scale shape: pure column expressions — ``regexp_count`` on the
+    ORIGINAL text per category (counts are independent raw tallies, not
+    what the sequential redaction chain happened to leave), then one
+    chained ``regexp_replace`` per pattern.  Zero shuffle, zero Python:
+    the whole operator lives inside whole-stage codegen, so at 100 TB it
+    rides the same single corpus pass as the rest of the quality gates.
+    """
+    counts = [
+        F.regexp_count(F.coalesce(F.col(text_col), F.lit("")), F.lit(pat))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.coalesce(F.col(text_col), F.lit(""))
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(*df.columns, *counts, clean.alias("clean_text"))

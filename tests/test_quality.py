@@ -165,3 +165,56 @@ def test_repetition_plan_is_narrow(spark):
     df = spark.createDataFrame([(1, "a b a")], "doc_id long, text string")
     plan = with_repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# pii_scrub
+# ---------------------------------------------------------------------------
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from no_fasel_scrapers_spark.operators.quality import pii_scrub
+
+    docs = [
+        (0, "mail a.b+c@sub.example.org and d@e.io twice"),
+        (1, "server 192.168.0.1 then 10.0.0.255 end"),
+        (2, "call +97155501234 or +123456789 now"),
+        (3, None),
+        (4, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert (rows[0].n_email, rows[0].n_ip, rows[0].n_phone) == (2, 0, 0)
+    assert rows[0].clean_text == "mail <EMAIL> and <EMAIL> twice"
+    assert rows[1].n_ip == 2
+    assert rows[1].clean_text == "server <IP> then <IP> end"
+    assert rows[2].n_phone == 2
+    assert rows[2].clean_text == "call <PHONE> or <PHONE> now"
+    # NULL text: zero counts, empty clean text, no NULL propagation
+    assert (rows[3].n_email, rows[3].n_ip, rows[3].n_phone) == (0, 0, 0)
+    assert rows[3].clean_text == ""
+    assert rows[4].clean_text == docs[4][1]
+
+
+def test_pii_scrub_counts_are_raw_per_pattern_tallies(spark):
+    from no_fasel_scrapers_spark.operators.quality import pii_scrub
+
+    # an email whose domain is IP-shaped: both patterns count it on the
+    # ORIGINAL text (counts are independent tallies), while the redaction
+    # chain runs email-first so the IP never survives to the output
+    df = spark.createDataFrame(
+        [(0, "root@10.1.2.3.example.com logged in")],
+        "doc_id long, text string",
+    )
+    (r,) = pii_scrub(df).collect()
+    assert (r.n_email, r.n_ip) == (1, 1)
+    assert r.clean_text == "<EMAIL> logged in"
+
+
+def test_pii_scrub_plan_is_pure_codegen(spark):
+    from no_fasel_scrapers_spark.operators.quality import pii_scrub
+
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = pii_scrub(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "pii_scrub must be a narrow map"
+    for marker in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, f"pii_scrub must stay JVM-side ({marker})"

@@ -10,6 +10,8 @@ Retired (see __spark_entry__.queries() docstring):
 - chunk_documents    (runs inside the oracle-checked training_prep capstone)
 - embedding_near_dup_recall (retired round 5 for recrawl_delta; its exact
   truth side duplicates cosine_pairs_exact)
+- ivf_recall (retired round 5 for pii_scrub; same retire-the-recall-metric
+  argument — ivf_ann keeps the operator registry-checked)
 """
 
 import os
@@ -54,7 +56,8 @@ def test_registry_is_exactly_50_and_fully_oracle_checked():
 @pytest.mark.parametrize("name", ["ngram_jaccard", "events_hourly",
                                   "cosine_pairs_exact", "ann_bruteforce",
                                   "chunk_documents", "intersect_keys",
-                                  "embedding_near_dup_recall"])
+                                  "embedding_near_dup_recall",
+                                  "ivf_recall"])
 def test_retired_query_matches_oracle(spark, con, name, monkeypatch):
     # the analytic VALUES oracles (embedding_near_dup_recall) bake data
     # from a parquet dir at oracle-BUILD time — pin them to the same sf
