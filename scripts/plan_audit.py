@@ -146,6 +146,16 @@ EXPECTATIONS = {
         ("ReadSchema: struct<doc_id:bigint,text:string>", True,
          "documents scan pruned to the 2 needed columns"),
     ],
+    "pii_scrub": [
+        ("Exchange", False, "pure narrow map: zero shuffle"),
+        ("MapInPandas", False,
+         "zero Python: the regexp count+redact chain stays JVM-side"),
+        ("codegen id", True,
+         "whole operator inside a codegen span (formatted plans mark "
+         "codegen nodes with [codegen id : N])"),
+        ("ReadSchema: struct<doc_id:bigint,text:string>", True,
+         "documents scan pruned to the 2 needed columns"),
+    ],
 }
 
 
