@@ -1156,6 +1156,69 @@ def q_media_metadata(spark, sf_dir):
     )
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio modality: WAV (RIFF/PCM) decode + signal features, for real.
+
+    Three of four lanes carry REAL WAV payloads built by the stdlib
+    encoder (``operators/wav.py``): PCM16 mono / PCM16 stereo / PCM8 mono
+    (odd byte counts exercise RIFF word-alignment pad bytes); the fourth
+    lane is an image payload, pinning the NULL contract for non-audio
+    rows.  The oracle twin (oracle/analytic.py ``audio_features_rows``)
+    computes features from the synthesized SAMPLES directly — the engine
+    only matches if its RIFF chunk walk + PCM decode round-trips every
+    sample bit-exactly (PCM is lossless; one header or interleave bug
+    shifts them all)."""
+    import numpy as np
+    import pandas as pd
+
+    from no_fasel_scrapers_spark.operators.multimodal import fake_encode
+    from no_fasel_scrapers_spark.operators.wav import (
+        audio_features,
+        wav_encode,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _payload(i: int) -> bytes:
+        lane = i % 4
+        seed = i % 251
+        if lane == 3:
+            return fake_encode(8, 8, 1, seed)  # image bytes: not audio
+        if lane == 2:
+            n = 64 + i % 255
+            u = (
+                (
+                    np.arange(n, dtype=np.uint32) * np.uint32(2654435761)
+                    + np.uint32(seed)
+                ) >> 24
+            ).astype(np.uint8)
+            return wav_encode(u, 8000, bits=8)
+        ch = 2 if lane == 1 else 1
+        n = 64 + i % (127 if lane == 1 else 257)
+        rng = (
+            np.arange(n * ch, dtype=np.uint32) * np.uint32(2654435761)
+            + np.uint32(seed)
+        )
+        s = (
+            ((rng >> 8) & np.uint32(0xFFFF))
+            .astype(np.uint16).view(np.int16).reshape(n, ch)
+        )
+        return wav_encode(s, 44100 if lane == 1 else 16000)
+
+    def _gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame({"doc_id": pdf["doc_id"]})
+            out["payload"] = [_payload(int(i)) for i in pdf["doc_id"]]
+            yield out
+
+    media = d.mapInPandas(_gen, schema="doc_id long, payload binary")
+    return audio_features(media).select(
+        "doc_id", "codec", "sample_rate", "channels", "n_frames",
+        "duration_ms", F.round("rms", 6).alias("rms_r"), "peak",
+        "zero_crossings",
+    )
+
+
 def q_ann_bruteforce(spark, sf_dir):
     """Exact cosine top-k: broadcast query batch, one corpus pass."""
     from no_fasel_scrapers_spark.operators.similarity import brute_force_topk
@@ -1918,6 +1981,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       ``embedding_near_dup_recall``: a 3-row recall/scan curve whose
       exact truth side is the retired ``ann_bruteforce``; the IVF
       operator it measures stays registry-checked via ``ivf_ann``.
+
+    And a third round-5 retirement to make room for the audio modality
+    (``audio_features`` — real WAV/RIFF PCM decode, the one multimodal
+    lane without a registry row now that PNG/JPEG/GIF cover images):
+
+    - ``media_metadata`` — ``with_media_metadata`` is the FIRST stage of
+      the registry-checked ``media_features`` (same operator, same
+      mapInPandas path, plus codec/width/height/channels in its output),
+      so the metadata struct stays fully registry-checked there.
     """
     return {
         "pricing_summary": q_pricing_summary,
@@ -1949,7 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "sitemap_parse": q_sitemap_parse,
         "warc_roundtrip": q_warc_roundtrip,
-        "media_metadata": q_media_metadata,
+        "audio_features": q_audio_features,
         "media_features": q_media_features,
         "training_prep": q_training_prep,
         "exact_dedup": q_exact_dedup,
@@ -1989,6 +2061,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "intersect_keys": q_intersect_keys,
         "embedding_near_dup_recall": q_embedding_near_dup_recall,
         "ivf_recall": q_ivf_recall,
+        "media_metadata": q_media_metadata,
     }
 
 
@@ -2042,6 +2115,7 @@ def _analytic_oracles() -> dict[str, str]:
         "embedding_near_dup_lsh": ao.embedding_near_dup_sql,
         "doc_fingerprints": ao.doc_fingerprints_sql,
         "media_features": ao.media_features_sql,
+        "audio_features": ao.audio_features_sql,
         "crawl_e2e": ao.crawl_e2e_sql,
         "recrawl_delta": ao.recrawl_delta_sql,
     }
@@ -2615,15 +2689,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY event_type, date_trunc('hour', ts)
         """,
-        "media_metadata": """
-            SELECT doc_id,
-                   CAST(16 + doc_id % 16 AS INTEGER) AS width,
-                   CAST(8 + doc_id % 8 AS INTEGER) AS height,
-                   CAST(1 + doc_id % 3 AS INTEGER) AS channels,
-                   CAST(9 + (16 + doc_id % 16) * (8 + doc_id % 8) * (1 + doc_id % 3) AS BIGINT) AS n_bytes,
-                   'nfsi-fake' AS codec
-            FROM documents
-        """,
         "repetition_stats": f"""
             WITH d AS (
                 SELECT doc_id, text FROM documents
@@ -2736,6 +2801,17 @@ def retired_oracle_sql() -> dict[str, str]:
         # round 4 (retired round 5 for recrawl_delta and pii_scrub)
         "embedding_near_dup_recall": ao.embedding_near_dup_recall_sql(),
         "ivf_recall": ao.ivf_recall_sql(),
+        # retired round 5 for audio_features (with_media_metadata stays
+        # registry-checked as media_features' first stage)
+        "media_metadata": """
+            SELECT doc_id,
+                   CAST(16 + doc_id % 16 AS INTEGER) AS width,
+                   CAST(8 + doc_id % 8 AS INTEGER) AS height,
+                   CAST(1 + doc_id % 3 AS INTEGER) AS channels,
+                   CAST(9 + (16 + doc_id % 16) * (8 + doc_id % 8) * (1 + doc_id % 3) AS BIGINT) AS n_bytes,
+                   'nfsi-fake' AS codec
+            FROM documents
+        """,
         "intersect_keys": """
             SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
             INTERSECT

@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_hourly_stream",
     "media_metadata",
+    "audio_features",
     "rollup_status_priority",
     "sessionize_events",
     "chunk_documents",

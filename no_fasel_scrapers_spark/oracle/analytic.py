@@ -602,6 +602,73 @@ def media_features_sql(sf: str | None = None) -> str:
 
 
 # ---------------------------------------------------------------------------
+# audio_features (operators/wav.py)
+# ---------------------------------------------------------------------------
+
+def audio_features_rows(sf: str):
+    """Mirror of q_audio_features WITHOUT the RIFF roundtrip: the twin
+    synthesizes the per-doc sample arrays from the same deterministic
+    formulas and computes the features directly, so the Spark side only
+    matches if ``wav_encode``→``wav_decode`` is bit-exact (PCM is
+    lossless — any header/alignment/interleave bug shifts every sample).
+
+    Lanes (doc_id % 4): 0 = PCM16 mono 16 kHz, 1 = PCM16 stereo 44.1 kHz,
+    2 = PCM8 mono 8 kHz (odd sizes exercise RIFF pad bytes), 3 = an image
+    payload — not audio, all-NULL feature row."""
+    out = []
+    for doc_id, _text, _lang in _docs(sf):
+        lane = doc_id % 4
+        if lane == 3:
+            out.append((doc_id,) + (None,) * 8)
+            continue
+        seed = doc_id % 251
+        if lane == 2:
+            n, ch, rate, codec = 64 + doc_id % 255, 1, 8000, "pcm8"
+            u = (
+                (
+                    np.arange(n, dtype=np.uint32) * np.uint32(2654435761)
+                    + np.uint32(seed)
+                ) >> 24
+            ).astype(np.uint8)
+            s = ((u.astype(np.int16) - 128) << 8)[:, None]
+        else:
+            ch = 2 if lane == 1 else 1
+            n = 64 + doc_id % (127 if lane == 1 else 257)
+            rate = 44100 if lane == 1 else 16000
+            codec = "pcm16"
+            rng = (
+                np.arange(n * ch, dtype=np.uint32) * np.uint32(2654435761)
+                + np.uint32(seed)
+            )
+            s = (
+                ((rng >> 8) & np.uint32(0xFFFF))
+                .astype(np.uint16).view(np.int16).reshape(n, ch)
+            )
+        x = s.astype(np.int32)
+        rms = float(np.sqrt(np.mean(np.float64(x) ** 2)))
+        peak = int(np.max(np.abs(x)))
+        c0 = s[:, 0]
+        zcr = int(np.count_nonzero(np.signbit(c0[:-1]) != np.signbit(c0[1:])))
+        out.append((
+            doc_id, codec, rate, ch, n, n * 1000 // rate,
+            _round_half_up(rms, 6), peak, zcr,
+        ))
+    return out
+
+
+def audio_features_sql(sf: str | None = None) -> str:
+    rows = audio_features_rows(sf or sf_dir())
+    return values_sql(
+        rows,
+        [("doc_id", "BIGINT"), ("codec", "VARCHAR"),
+         ("sample_rate", "INTEGER"), ("channels", "INTEGER"),
+         ("n_frames", "BIGINT"), ("duration_ms", "BIGINT"),
+         ("rms_r", "DOUBLE"), ("peak", "INTEGER"),
+         ("zero_crossings", "INTEGER")],
+    )
+
+
+# ---------------------------------------------------------------------------
 # decontaminate (operators/corpus.py)
 # ---------------------------------------------------------------------------
 

@@ -146,6 +146,12 @@ EXPECTATIONS = {
         ("ReadSchema: struct<doc_id:bigint,text:string>", True,
          "documents scan pruned to the 2 needed columns"),
     ],
+    "audio_features": [
+        ("Exchange", False,
+         "payload synth + WAV decode + feature project: zero shuffle"),
+        ("MapInPandas", True,
+         "binary decode runs Arrow-batched (the sanctioned Python path)"),
+    ],
     "pii_scrub": [
         ("Exchange", False, "pure narrow map: zero shuffle"),
         ("MapInPandas", False,

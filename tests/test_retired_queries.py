@@ -12,6 +12,8 @@ Retired (see __spark_entry__.queries() docstring):
   truth side duplicates cosine_pairs_exact)
 - ivf_recall (retired round 5 for pii_scrub; same retire-the-recall-metric
   argument — ivf_ann keeps the operator registry-checked)
+- media_metadata (retired round 5 for audio_features; with_media_metadata
+  stays registry-checked as media_features' first stage)
 """
 
 import os
@@ -57,7 +59,7 @@ def test_registry_is_exactly_50_and_fully_oracle_checked():
                                   "cosine_pairs_exact", "ann_bruteforce",
                                   "chunk_documents", "intersect_keys",
                                   "embedding_near_dup_recall",
-                                  "ivf_recall"])
+                                  "ivf_recall", "media_metadata"])
 def test_retired_query_matches_oracle(spark, con, name, monkeypatch):
     # the analytic VALUES oracles (embedding_near_dup_recall) bake data
     # from a parquet dir at oracle-BUILD time — pin them to the same sf
