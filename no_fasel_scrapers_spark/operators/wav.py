@@ -63,9 +63,13 @@ def wav_encode(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
         a = a[:, None]
     n_frames, channels = a.shape
     if bits == 16:
+        if a.dtype != np.int16:
+            raise ValueError(f"pcm16 needs int16 samples, got {a.dtype}")
         body = a.astype("<i2", copy=False).tobytes()
     elif bits == 8:
-        body = a.astype(np.uint8, copy=False).tobytes()
+        if a.dtype != np.uint8:
+            raise ValueError(f"pcm8 needs uint8 samples, got {a.dtype}")
+        body = a.tobytes()
     else:
         raise NotImplementedError(f"pcm bits={bits}")
     block_align = channels * (bits // 8)
@@ -143,14 +147,17 @@ def wav_header(payload: bytes) -> dict | None:
     raise ValueError("wav: no data chunk")
 
 
-def wav_decode(payload: bytes) -> np.ndarray:
+def wav_decode(payload: bytes, meta: dict | None = None) -> np.ndarray:
     """WAV bytes → int16 sample array of shape (n_frames, channels).
 
     8-bit PCM (stored unsigned, midpoint 128) is recentred and scaled to
     the int16 range (``(v - 128) << 8``) so downstream features see one
-    dtype regardless of source depth.
+    dtype regardless of source depth.  Pass a ``wav_header`` result as
+    ``meta`` to skip re-walking the chunks (the hot-path batch loop
+    already parsed them once).
     """
-    meta = wav_header(payload)
+    if meta is None:
+        meta = wav_header(payload)
     if meta is None:
         raise ValueError("wav: not a RIFF/WAVE payload")
     off, size = meta["_data_off"], meta["_data_size"]
@@ -205,7 +212,7 @@ def audio_features(df: DataFrame, payload_col: str = "payload") -> DataFrame:
                 if meta is None:
                     rows.append((None,) * len(feat_names))
                     continue
-                rms, peak, zcr = wav_features(wav_decode(p))
+                rms, peak, zcr = wav_features(wav_decode(p, meta))
                 rows.append((
                     meta["codec"], meta["sample_rate"], meta["channels"],
                     meta["bits"], meta["n_frames"], meta["duration_ms"],

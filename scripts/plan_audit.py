@@ -151,6 +151,10 @@ EXPECTATIONS = {
          "payload synth + WAV decode + feature project: zero shuffle"),
         ("MapInPandas", True,
          "binary decode runs Arrow-batched (the sanctioned Python path)"),
+        ("BatchEvalPython", False,
+         "no row-at-a-time Python UDF anywhere in the chain (the synth "
+         "stage alone would satisfy the MapInPandas check, so pin the "
+         "absence of the slow path explicitly)"),
     ],
     "pii_scrub": [
         ("Exchange", False, "pure narrow map: zero shuffle"),

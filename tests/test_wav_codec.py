@@ -107,6 +107,23 @@ def test_unsupported_bit_depth_raises_honestly():
         wav_encode(_sig16(4), 8000, bits=24)
 
 
+def test_encode_rejects_mismatched_dtype():
+    # silent astype would wrap/truncate samples into a structurally valid
+    # but garbage WAV — the encoder must raise instead
+    with pytest.raises(ValueError):
+        wav_encode(_sig16(4), 8000, bits=8)
+    with pytest.raises(ValueError):
+        wav_encode(np.zeros(4, np.float32), 8000)
+    with pytest.raises(ValueError):
+        wav_encode((np.arange(4) % 256).astype(np.uint8), 8000, bits=16)
+
+
+def test_decode_accepts_precomputed_meta():
+    payload = wav_encode(_sig16(20), 8000)
+    meta = wav_header(payload)
+    assert np.array_equal(wav_decode(payload, meta), wav_decode(payload))
+
+
 def test_not_a_wav_is_none_not_error():
     assert wav_header(None) is None
     assert wav_header(b"") is None
