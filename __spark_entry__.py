@@ -470,8 +470,20 @@ def q_frontier_take_wave(spark, sf_dir):
 
 
 def q_robots_gate(spark, sf_dir):
-    """north_rule robots gating: broadcast robots ⋈ frontier, prefix filter."""
+    """north_rule robots gating, full RFC 9309 path (round 5): raw robots
+    bodies → parse_robots_txt (compiled Allow/Disallow regex rules) →
+    apply_robots longest-match-wins gate, all broadcast ⋈ frontier.
+
+    The synthetic bodies exercise every precedence case: a longer Allow
+    overriding a Disallow (/d/1 vs /d/1/), a trailing-$ wildcard rule
+    (/*4$ blocks every path on host h4 — all its doc_ids end in 4), and
+    an equal-length tie (none here; tie→allow is pinned in pytest).  The
+    oracle derives allowed doc_ids analytically from the generation rule
+    — an independent check, not a parser mirror."""
     from no_fasel_scrapers_spark.operators.robots import apply_robots
+    from no_fasel_scrapers_spark.operators.robots_parse import (
+        parse_robots_txt,
+    )
 
     d = _t(spark, sf_dir, "documents")
     frontier = d.select(
@@ -485,13 +497,20 @@ def q_robots_gate(spark, sf_dir):
             F.lit("h"), (F.col("doc_id") % 10).cast("string"), F.lit(".test")
         ).alias("host"),
     )
-    robots = spark.createDataFrame(
+    bodies = spark.createDataFrame(
         [
-            (f"h{k}.test", ["/d/0", "/d/1"] if k % 2 == 0 else ["/d/2"])
+            (
+                f"h{k}.test",
+                "User-agent: *\nDisallow: /d/0\nDisallow: /d/1\n"
+                "Allow: /d/1/\nDisallow: /*4$\n"
+                if k % 2 == 0
+                else "User-agent: *\nDisallow: /d/2\n",
+            )
             for k in range(10)
         ],
-        "host string, disallow_prefixes array<string>",
+        "host string, robots_txt string",
     )
+    robots = parse_robots_txt(bodies)
     allowed, _blocked = apply_robots(frontier, robots)
     return allowed.select("doc_id", "host")
 
@@ -593,9 +612,11 @@ def q_asof_join(spark, sf_dir):
 
 def q_robots_parse(spark, sf_dir):
     """robots.txt parsing as pure columns (windows resolve the stateful
-    group grammar).  The oracle computes the expected parse analytically
-    from the synthetic bodies' generation rule — an independent check, not
-    a SQL mirror of the parser."""
+    group grammar), incl. Allow directives and the precompiled RFC 9309
+    wildcard regexes (round 5).  The oracle computes the expected parse —
+    prefixes, allows AND the compiled regex strings — analytically from
+    the synthetic bodies' generation rule: an independent check, not a
+    SQL mirror of the parser."""
     from no_fasel_scrapers_spark.operators.robots_parse import (
         parse_robots_txt,
     )
@@ -607,8 +628,10 @@ def q_robots_parse(spark, sf_dir):
         F.when(
             k % 3 == 0,
             F.concat(
-                F.lit("User-agent: *\nDisallow: /a/\nDisallow: /b"), ks,
-                F.lit("/\nCrawl-delay: "), (k % 5).cast("string"),
+                F.lit("User-agent: *\nDisallow: /a/\nAllow: /a/open/\n"
+                      "Disallow: /b"), ks,
+                F.lit("/\nDisallow: /*.zip$\nCrawl-delay: "),
+                (k % 5).cast("string"),
                 F.lit("\n"),
             ),
         )
@@ -616,7 +639,8 @@ def q_robots_parse(spark, sf_dir):
             k % 3 == 1,
             F.concat(
                 F.lit("User-agent: mybot\nDisallow: /mb"), ks,
-                F.lit("/\n\nUser-agent: *\nDisallow: /all/\n"),
+                F.lit("/\nAllow: /mb"), ks,
+                F.lit("/ok$\n\nUser-agent: *\nDisallow: /all/\n"),
             ),
         )
         .otherwise(F.lit("# open\nUser-agent: *\nDisallow:\n"))
@@ -629,6 +653,10 @@ def q_robots_parse(spark, sf_dir):
     return out.select(
         "host",
         F.array_join("disallow_prefixes", ",").alias("prefixes_csv"),
+        F.array_join("allow_patterns", ",").alias("allows_csv"),
+        F.array_join(
+            F.transform(F.col("rules"), lambda r: r["rx"]), ","
+        ).alias("regexes_csv"),
         "crawl_delay_ms",
     )
 
@@ -2176,11 +2204,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'n' || CAST(n_nationkey AS VARCHAR) || '.test' AS host,
                    CASE
                      WHEN n_nationkey % 3 = 0 THEN
-                       '/a/,/b' || CAST(n_nationkey AS VARCHAR) || '/'
+                       '/*.zip$,/a/,/b' || CAST(n_nationkey AS VARCHAR) || '/'
                      WHEN n_nationkey % 3 = 1 THEN
                        '/mb' || CAST(n_nationkey AS VARCHAR) || '/'
                      ELSE ''
                    END AS prefixes_csv,
+                   CASE
+                     WHEN n_nationkey % 3 = 0 THEN '/a/open/'
+                     WHEN n_nationkey % 3 = 1 THEN
+                       '/mb' || CAST(n_nationkey AS VARCHAR) || '/ok$'
+                     ELSE ''
+                   END AS allows_csv,
+                   CASE
+                     WHEN n_nationkey % 3 = 0 THEN
+                       '^/.*\\.zip$,^/a/,^/b' || CAST(n_nationkey AS VARCHAR)
+                           || '/,^/a/open/'
+                     WHEN n_nationkey % 3 = 1 THEN
+                       '^/mb' || CAST(n_nationkey AS VARCHAR) || '/,^/mb'
+                           || CAST(n_nationkey AS VARCHAR) || '/ok$'
+                     ELSE ''
+                   END AS regexes_csv,
                    CAST(CASE WHEN n_nationkey % 3 = 0
                              THEN (n_nationkey % 5) * 1000
                              ELSE 0 END AS BIGINT) AS crawl_delay_ms
@@ -2605,11 +2648,17 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 500
         """,
         "robots_gate": """
+            -- analytic RFC 9309 expectation from the generation rule:
+            -- even hosts: Disallow /d/0, Disallow /d/1 + LONGER Allow /d/1/
+            -- (allow wins), Disallow /*4$ (path ends in 4 <=> doc_id%10=4,
+            -- still out-lengthed by Allow /d/1/ when doc_id%7=1);
+            -- odd hosts: Disallow /d/2 only.
             SELECT doc_id,
                    'h' || CAST(doc_id % 10 AS VARCHAR) || '.test' AS host
             FROM documents
             WHERE NOT (
-                (doc_id % 2 = 0 AND doc_id % 7 IN (0, 1))
+                (doc_id % 2 = 0 AND (doc_id % 7 = 0
+                    OR (doc_id % 10 = 4 AND doc_id % 7 <> 1)))
                 OR (doc_id % 2 = 1 AND doc_id % 7 = 2)
             )
         """,

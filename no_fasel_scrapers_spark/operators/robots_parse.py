@@ -14,15 +14,50 @@ by its rules), but the grammar resolves with two windows:
    beat ``*`` groups; rules outside any matching group are ignored.
 
 Comments (``# …``) and blank lines are stripped; directives match
-case-insensitively; empty Disallow values (allow-all) are dropped.
-Unknown directives are ignored.  One shuffle on host.
+case-insensitively; empty Disallow/Allow values are dropped.  Unknown
+directives are ignored.  One shuffle on host.
+
+RFC 9309 rule matching (round 5): besides the flat ``disallow_prefixes``
+(kept for prefix-only consumers), the output carries ``rules`` — every
+Allow + Disallow pattern precompiled ONCE at parse time into an anchored
+Java regex (``*`` → ``.*``, trailing ``$`` → end anchor, all other regex
+metacharacters escaped) with its raw pattern length for longest-match
+precedence.  ``operators/robots.apply_robots`` evaluates the match per
+frontier row entirely JVM-side; compiling at parse time keeps the
+per-row work to RLIKE probes on a tiny broadcast array instead of
+re-deriving regexes per row.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def pattern_to_regex(p: Column) -> Column:
+    """robots.txt rule pattern → anchored Java regex (as a column).
+
+    Per RFC 9309 / Google semantics: ``*`` matches any character
+    sequence, a TRAILING ``$`` anchors the end (a ``$`` elsewhere is
+    literal), everything else is literal — so escape Java regex
+    metacharacters first, then expand ``*``."""
+    anchored = p.endswith("$")
+    body = F.regexp_replace(p, r"\$$", "")
+    esc = F.regexp_replace(body, r"([\.\^\$\|\?\+\(\)\[\]\{\}\\])", r"\\$1")
+    star = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), star, F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+    )
+
+
+def _rule_struct(p: Column, allow: bool) -> Column:
+    return F.struct(
+        p.alias("pattern"),
+        F.lit(allow).alias("allow"),
+        F.length(p).alias("plen"),
+        pattern_to_regex(p).alias("rx"),
+    )
 
 
 def parse_robots_txt(
@@ -103,6 +138,11 @@ def parse_robots_txt(
             F.array_sort(F.collect_set("v")).alias("disallow_prefixes")
         )
     )
+    allows = (
+        rules.filter((F.col("d") == "allow") & (F.col("v") != ""))
+        .groupBy("host")
+        .agg(F.array_sort(F.collect_set("v")).alias("allow_patterns"))
+    )
     delays = (
         rules.filter(F.col("d") == "crawl-delay")
         .groupBy("host")
@@ -113,17 +153,32 @@ def parse_robots_txt(
         )
     )
     hosts = robots_bodies.select("host").distinct()
-    return (
+    empty = F.array().cast("array<string>")
+    out = (
         hosts.join(disallows, "host", "left")
+        .join(allows, "host", "left")
         .join(delays, "host", "left")
         .select(
             "host",
-            F.coalesce(
-                F.col("disallow_prefixes"),
-                F.array().cast("array<string>"),
-            ).alias("disallow_prefixes"),
+            F.coalesce(F.col("disallow_prefixes"), empty).alias(
+                "disallow_prefixes"
+            ),
+            F.coalesce(F.col("allow_patterns"), empty).alias(
+                "allow_patterns"
+            ),
             F.coalesce(F.col("delay_ms"), F.lit(default_delay_ms))
             .cast("long")
             .alias("crawl_delay_ms"),
         )
+    )
+    return out.withColumn(
+        "rules",
+        F.concat(
+            F.transform(
+                F.col("disallow_prefixes"), lambda p: _rule_struct(p, False)
+            ),
+            F.transform(
+                F.col("allow_patterns"), lambda p: _rule_struct(p, True)
+            ),
+        ),
     )

@@ -228,6 +228,72 @@ class TestRobotsParse:
             "https://h.test/blocked/x"
         ]
 
+    def test_rfc9309_longest_match(self, spark):
+        """RFC 9309 precedence: longest match wins, ties go to Allow,
+        ``*`` wildcards and trailing ``$`` anchors compile correctly."""
+        from no_fasel_scrapers_spark.operators.robots import apply_robots
+        from no_fasel_scrapers_spark.operators.robots_parse import (
+            parse_robots_txt,
+        )
+
+        df = spark.createDataFrame(
+            [("h.test",
+              "User-agent: *\n"
+              "Disallow: /dir/\n"          # blocks /dir/*
+              "Allow: /dir/open/\n"        # longer allow re-opens subtree
+              "Disallow: /tie\n"           # plen 4 ...
+              "Allow: /tie\n"              # ... equal-length tie -> allow
+              "Disallow: /*.zip$\n"        # wildcard + end anchor
+              "Allow: /media/ok.zip$\n")],  # longer allow beats the glob
+            "host string, robots_txt string",
+        )
+        robots = parse_robots_txt(df)
+        cases = [
+            # (path, expected_allowed)
+            ("/dir/x", False),             # plain disallow
+            ("/dir/open/x", True),         # longer allow wins
+            ("/tie", True),                # tie -> allow (least restrictive)
+            ("/tiebreak", True),           # both match as prefixes -> tie
+            ("/a/b/c.zip", False),         # glob + $ anchor blocks
+            ("/a/b/c.zipx", True),         # $ anchor: no match past end
+            ("/media/ok.zip", True),       # longer allow beats the glob
+            ("/elsewhere", True),          # no rule matches
+        ]
+        frontier = spark.createDataFrame(
+            [(f"https://h.test{p}", "h.test") for p, _ in cases],
+            "url string, host string",
+        )
+        allowed, blocked = apply_robots(frontier, robots)
+        got_allowed = {r.url for r in allowed.collect()}
+        for path, want in cases:
+            url = f"https://h.test{path}"
+            assert (url in got_allowed) == want, (path, want)
+        assert allowed.count() + blocked.count() == len(cases)
+
+    def test_rfc9309_unknown_host_allowed(self, spark):
+        """A frontier host with no robots row passes the RFC-mode gate."""
+        from no_fasel_scrapers_spark.operators.robots import apply_robots
+        from no_fasel_scrapers_spark.operators.robots_parse import (
+            parse_robots_txt,
+        )
+
+        robots = parse_robots_txt(spark.createDataFrame(
+            [("known.test", "User-agent: *\nDisallow: /\n")],
+            "host string, robots_txt string",
+        ))
+        frontier = spark.createDataFrame(
+            [("https://unknown.test/x", "unknown.test"),
+             ("https://known.test/x", "known.test")],
+            "url string, host string",
+        )
+        allowed, blocked = apply_robots(frontier, robots)
+        assert [r.url for r in allowed.collect()] == [
+            "https://unknown.test/x"
+        ]
+        assert [r.url for r in blocked.collect()] == [
+            "https://known.test/x"
+        ]
+
 
 class TestSitemapParse:
     def test_urlset_and_index(self, spark):
