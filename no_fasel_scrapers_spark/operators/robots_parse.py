@@ -107,69 +107,74 @@ def parse_robots_txt(
         ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
     )
 
-    agents = (
-        grouped.filter(F.col("d") == "user-agent")
-        .groupBy("host", "group_id")
-        .agg(
-            F.max(
-                (F.lower(F.col("v")) == agent.lower()).cast("int")
-            ).alias("named"),
-            F.max((F.col("v") == "*").cast("int")).alias("wild"),
-        )
-    )
-    # RFC 9309 group selection: exact-agent groups win over '*' groups
-    host_has_named = agents.groupBy("host").agg(
-        F.max("named").alias("host_named")
-    )
-    applicable = (
-        agents.join(host_has_named, "host")
+    # RFC 9309 group selection (exact-agent groups win over '*' groups)
+    # as window maxima over the SAME host partitioning the group_id
+    # window already established — HashPartitioning(host) satisfies the
+    # (host, group_id) clustering, so no further exchange is planned.
+    wg = Window.partitionBy("host", "group_id")
+    wh = Window.partitionBy("host")
+    is_named_ua = (
+        (F.col("d") == "user-agent")
+        & (F.lower(F.col("v")) == agent.lower())
+    ).cast("int")
+    is_wild_ua = (
+        (F.col("d") == "user-agent") & (F.col("v") == "*")
+    ).cast("int")
+    rules = (
+        grouped.withColumn("named_g", F.max(is_named_ua).over(wg))
+        .withColumn("wild_g", F.max(is_wild_ua).over(wg))
+        .withColumn("host_named", F.max(F.col("named_g")).over(wh))
         .filter(
-            ((F.col("host_named") == 1) & (F.col("named") == 1))
-            | ((F.col("host_named") == 0) & (F.col("wild") == 1))
-        )
-        .select("host", "group_id")
-    )
-
-    rules = grouped.join(applicable, ["host", "group_id"])
-    disallows = (
-        rules.filter((F.col("d") == "disallow") & (F.col("v") != ""))
-        .groupBy("host")
-        .agg(
-            F.array_sort(F.collect_set("v")).alias("disallow_prefixes")
+            ((F.col("host_named") == 1) & (F.col("named_g") == 1))
+            | ((F.col("host_named") == 0) & (F.col("wild_g") == 1))
         )
     )
-    allows = (
-        rules.filter((F.col("d") == "allow") & (F.col("v") != ""))
-        .groupBy("host")
-        .agg(F.array_sort(F.collect_set("v")).alias("allow_patterns"))
-    )
-    delays = (
-        rules.filter(F.col("d") == "crawl-delay")
-        .groupBy("host")
-        .agg(
-            (F.max(F.col("v").cast("double")) * 1000).cast("long").alias(
-                "delay_ms"
+    # one conditional aggregation instead of three filtered groupBys —
+    # collect_set skips the NULLs the when() leaves on non-matching rows,
+    # and the partial aggregate rides the existing host partitioning
+    agg = rules.groupBy("host").agg(
+        F.array_sort(
+            F.collect_set(
+                F.when(
+                    (F.col("d") == "disallow") & (F.col("v") != ""),
+                    F.col("v"),
+                )
             )
+        ).alias("disallow_prefixes"),
+        F.array_sort(
+            F.collect_set(
+                F.when(
+                    (F.col("d") == "allow") & (F.col("v") != ""),
+                    F.col("v"),
+                )
+            )
+        ).alias("allow_patterns"),
+        (
+            F.max(
+                F.when(
+                    F.col("d") == "crawl-delay", F.col("v").cast("double")
+                )
+            )
+            * 1000
         )
+        .cast("long")
+        .alias("delay_ms"),
     )
+    # hosts whose body yields no applicable rules (empty file, garbage,
+    # no matching group) still need a row: rejoin against the host list
     hosts = robots_bodies.select("host").distinct()
     empty = F.array().cast("array<string>")
-    out = (
-        hosts.join(disallows, "host", "left")
-        .join(allows, "host", "left")
-        .join(delays, "host", "left")
-        .select(
-            "host",
-            F.coalesce(F.col("disallow_prefixes"), empty).alias(
-                "disallow_prefixes"
-            ),
-            F.coalesce(F.col("allow_patterns"), empty).alias(
-                "allow_patterns"
-            ),
-            F.coalesce(F.col("delay_ms"), F.lit(default_delay_ms))
-            .cast("long")
-            .alias("crawl_delay_ms"),
-        )
+    out = hosts.join(agg, "host", "left").select(
+        "host",
+        F.coalesce(F.col("disallow_prefixes"), empty).alias(
+            "disallow_prefixes"
+        ),
+        F.coalesce(F.col("allow_patterns"), empty).alias(
+            "allow_patterns"
+        ),
+        F.coalesce(F.col("delay_ms"), F.lit(default_delay_ms))
+        .cast("long")
+        .alias("crawl_delay_ms"),
     )
     return out.withColumn(
         "rules",
