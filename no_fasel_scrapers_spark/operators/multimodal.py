@@ -20,8 +20,11 @@ signatures) is real and tested.  Four codecs decode for real in-sandbox:
 - the deterministic **fake codec** (``fake_encode``) used where a real
   format would add nothing to the plumbing under test.
 
-Audio and real video containers require libs not present in this container
-and stay stubbed behind clear ``NotImplementedError`` seams.
+Audio decodes for real too (RIFF/PCM WAV, ``operators/wav.py``), as does
+one real video container — MJPEG-in-AVI (``operators/avi.py``: RIFF walk
++ the JPEG codec per frame, consumed by ``sample_frames``).  Inter-frame
+video codecs (mp4/h264) require libs not present in this container and
+stay stubbed behind clear ``NotImplementedError`` seams.
 
 Batch shape: ``mapInPandas`` with binary columns yields ``bytes`` objects
 per cell; numpy does the per-batch work.  Partitioning: media tables should
@@ -471,13 +474,22 @@ def sample_frames(
     This is the UDF shape of a real video pipeline — binary in →
     exploded typed rows out (pass-through columns + ``frame_idx`` +
     ``ts_ms`` from the container fps + ``frame`` binary), numpy per
-    Arrow batch, zero shuffle.  Real containers (mp4/h264) need
-    PyAV/ffmpeg, absent in this sandbox: with ``strict`` (default) a
-    non-NFSV payload raises ``NotImplementedError`` (the honest seam,
-    same convention as ``_decode_image_real``); ``strict=False`` skips
-    such rows for pipelines that prefer dropping to failing.  NULL
+    Arrow batch, zero shuffle.  Two containers decode for real: the
+    NFSV fake codec and MJPEG-in-AVI (``operators/avi.py`` — RIFF walk
+    + the stdlib JPEG codec; only the SAMPLED frames are ever
+    entropy-decoded).  Inter-frame codecs (mp4/h264) need PyAV/ffmpeg,
+    absent in this sandbox: with ``strict`` (default) such a payload
+    raises (the honest seam, same convention as ``_decode_image_real``);
+    ``strict=False`` skips those rows — and malformed/truncated AVIs
+    with them — for pipelines that prefer dropping to failing.  NULL
     payloads yield no frames either way.
     """
+    from no_fasel_scrapers_spark.operators.avi import (
+        avi_decode_frames,
+        avi_frame_chunks,
+        avi_header,
+    )
+
     cols = df.columns
 
     def _run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -490,34 +502,58 @@ def sample_frames(
             for rec in zip(*(pdf[c] for c in cols)):
                 rec = dict(zip(cols, rec))
                 payload = rec[payload_col]
+                if payload is None:
+                    continue
                 hdr = video_header(payload)
-                if hdr is None:
-                    if payload is None:
+                if hdr is not None:
+                    w, h, c = hdr["width"], hdr["height"], hdr["channels"]
+                    frame_bytes = w * h * c
+                    idxs = range(0, hdr["n_frames"], stride)
+                    if max_frames is not None:
+                        idxs = list(idxs)[:max_frames]
+
+                    def _nfsv_frames():
+                        for i in idxs:
+                            start = _VIDEO_HDR_LEN + i * frame_bytes
+                            yield i, np.frombuffer(
+                                payload, dtype=np.uint8, count=frame_bytes,
+                                offset=start,
+                            ).reshape(h, w, c)
+
+                    fps = hdr["fps"]
+                    sampled = _nfsv_frames()
+                else:
+                    try:
+                        ahdr = avi_header(payload)
+                    except (ValueError, NotImplementedError):
+                        # truncated AVI or a non-MJPEG stream codec
+                        if strict:
+                            raise
                         continue
-                    if not strict:
-                        continue
-                    raise NotImplementedError(
-                        "real video containers need PyAV/ffmpeg (absent "
-                        "here); fake_video_encode payloads sample for "
-                        "real, or pass strict=False to skip unknowns"
+                    if ahdr is None:
+                        if not strict:
+                            continue
+                        raise NotImplementedError(
+                            "video containers beyond MJPEG-AVI and NFSV "
+                            "need PyAV/ffmpeg (absent here); pass "
+                            "strict=False to skip unknowns"
+                        )
+                    # count actual movi chunks (headers lie in the wild);
+                    # the walk never touches frame bytes, and only the
+                    # sampled frames are entropy-decoded below
+                    n_actual = sum(
+                        1 for _ in avi_frame_chunks(payload, ahdr)
                     )
-                w, h, c = hdr["width"], hdr["height"], hdr["channels"]
-                frame_bytes = w * h * c
-                idxs = range(0, hdr["n_frames"], stride)
-                if max_frames is not None:
-                    idxs = list(idxs)[:max_frames]
-                for i in idxs:
-                    start = _VIDEO_HDR_LEN + i * frame_bytes
-                    arr = np.frombuffer(
-                        payload, dtype=np.uint8, count=frame_bytes,
-                        offset=start,
-                    ).reshape(h, w, c)
+                    idxs = range(0, n_actual, stride)
+                    if max_frames is not None:
+                        idxs = list(idxs)[:max_frames]
+                    fps = ahdr["fps"]
+                    sampled = avi_decode_frames(payload, idxs, ahdr)
+                for i, arr in sampled:
                     for col in cols:
                         rows[col].append(rec[col])
                     rows["frame_idx"].append(i)
-                    rows["ts_ms"].append(
-                        int(i * 1000 / hdr["fps"]) if hdr["fps"] else 0
-                    )
+                    rows["ts_ms"].append(int(i * 1000 / fps) if fps else 0)
                     rows["frame"].append(png_encode(arr))
             yield pd.DataFrame(rows, columns=cols + ["frame_idx", "ts_ms", "frame"])
 
