@@ -1672,6 +1672,87 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def q_video_frames(spark, sf_dir):
+    """Video frame-sampling through a REAL container (round 5): per-doc
+    MJPEG-in-AVI payloads (operators/avi.py — RIFF walk, ``00dc`` frames
+    through the stdlib JPEG codec) explode via ``sample_frames`` into one
+    row per sampled frame, each a standalone PNG, then the emitted PNGs
+    run the metadata + histogram-feature path.
+
+    Lanes: doc_id % 11 == 0 carries a NULL payload (row disappears);
+    doc_id % 4 == 3 carries the NFSV fake container (pins that path
+    in-registry too); everything else is a real AVI whose frames are
+    block-constant gray at unit quant — the DC-only bit-exact argument
+    (operators/jpeg.py), so the analytic twin predicts the decoded
+    pixels while the engine walks RIFF → Huffman/IDCT → PNG encode →
+    PNG decode → histogram.  The oracle derives every output column
+    (frame_idx, ts_ms from the container fps, metadata, f0) from the
+    generation rule alone — no container/codec code on the oracle side."""
+    import numpy as np
+    import pandas as pd
+
+    from no_fasel_scrapers_spark.operators.avi import avi_encode
+    from no_fasel_scrapers_spark.operators.multimodal import (
+        extract_features,
+        fake_video_encode,
+        sample_frames,
+        with_media_metadata,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _payload(i: int) -> bytes | None:
+        if i % 11 == 0:
+            return None
+        fps = 5 + i % 5
+        n_frames = 2 + i % 3
+        if i % 4 == 3:
+            return fake_video_encode(
+                12, 6, 1, n_frames=n_frames, seed=i % 251, fps=fps
+            )
+        w, h = 16 + 8 * (i % 3), 8 + 8 * (i % 2)
+        frames = []
+        for f in range(n_frames):
+            nb = (w // 8) * (h // 8)
+            vals = (
+                (
+                    np.arange(nb, dtype=np.uint32) * np.uint32(2654435761)
+                    + np.uint32((i + 17 * f) % 251)
+                ) >> 24
+            ).astype(np.uint8)
+            frames.append(
+                np.kron(
+                    vals.reshape(h // 8, w // 8),
+                    np.ones((8, 8), dtype=np.uint8),
+                ).astype(np.uint8)
+            )
+        return avi_encode(frames, fps=fps)
+
+    def _gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame({"doc_id": pdf["doc_id"]})
+            out["payload"] = [_payload(int(i)) for i in pdf["doc_id"]]
+            yield out
+
+    media = d.mapInPandas(_gen, schema="doc_id long, payload binary")
+    frames = sample_frames(media, stride=2).drop("payload")
+    out = extract_features(
+        with_media_metadata(frames, payload_col="frame"),
+        payload_col="frame",
+    )
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "ts_ms",
+        "codec",
+        "width",
+        "height",
+        "channels",
+        F.size("features").alias("n_bins"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )
+
+
 def q_anime_delta(spark, sf_dir):
     """Anime episode-list incremental merge (FaselAnimeScraper.py:112-124
     semantics, operators/merge.anime_episode_delta): unchanged series pass
@@ -2018,6 +2099,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       the registry-checked ``media_features`` (same operator, same
       mapInPandas path, plus codec/width/height/channels in its output),
       so the metadata struct stays fully registry-checked there.
+
+    And a fourth round-5 retirement to make room for the video modality
+    (``video_frames`` — real MJPEG-in-AVI container through
+    ``sample_frames``, the one modality without a registry row now that
+    images and audio have theirs):
+
+    - ``exact_dedup`` — the same twin-coverage argument as the round-2
+      ``events_hourly`` retirement: the registry-checked
+      ``exact_dedup_stream`` drains to the byte-identical batch DISTINCT
+      answer (its oracle IS the batch semantics), and exact dedup also
+      runs as a pinned stage inside the oracle-checked ``training_prep``
+      capstone, so the operator stays doubly registry-checked.
     """
     return {
         "pricing_summary": q_pricing_summary,
@@ -2052,7 +2145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "media_features": q_media_features,
         "training_prep": q_training_prep,
-        "exact_dedup": q_exact_dedup,
+        "video_frames": q_video_frames,
         "exact_dedup_stream": q_exact_dedup_stream,
         "text_stats": q_text_stats,
         "repetition_stats": q_repetition_stats,
@@ -2090,6 +2183,7 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup_recall": q_embedding_near_dup_recall,
         "ivf_recall": q_ivf_recall,
         "media_metadata": q_media_metadata,
+        "exact_dedup": q_exact_dedup,
     }
 
 
@@ -2144,6 +2238,7 @@ def _analytic_oracles() -> dict[str, str]:
         "doc_fingerprints": ao.doc_fingerprints_sql,
         "media_features": ao.media_features_sql,
         "audio_features": ao.audio_features_sql,
+        "video_frames": ao.video_frames_sql,
         "crawl_e2e": ao.crawl_e2e_sql,
         "recrawl_delta": ao.recrawl_delta_sql,
     }
@@ -2686,16 +2781,6 @@ def oracle_sql() -> dict[str, str]:
                    'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.test' AS host
             FROM documents
         """,
-        "exact_dedup": """
-            SELECT doc_id, source, prefix FROM (
-                SELECT doc_id, source, substring(text, 1, 16) AS prefix,
-                       row_number() OVER (
-                           PARTITION BY md5(substring(text, 1, 16))
-                           ORDER BY doc_id ASC
-                       ) AS rn
-                FROM documents
-            ) WHERE rn = 1
-        """,
         "text_stats": f"""
             WITH tk AS (
                 -- ws_tokens twin: maximal non-whitespace runs; explicit
@@ -2865,6 +2950,18 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
             INTERSECT
             SELECT l_orderkey FROM lineitem
+        """,
+        # retired round 5 for video_frames (batch semantics stay
+        # registry-checked via exact_dedup_stream + training_prep)
+        "exact_dedup": """
+            SELECT doc_id, source, prefix FROM (
+                SELECT doc_id, source, substring(text, 1, 16) AS prefix,
+                       row_number() OVER (
+                           PARTITION BY md5(substring(text, 1, 16))
+                           ORDER BY doc_id ASC
+                       ) AS rn
+                FROM documents
+            ) WHERE rn = 1
         """,
         "ngram_jaccard": """
             WITH g AS (

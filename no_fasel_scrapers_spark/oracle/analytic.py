@@ -669,6 +669,79 @@ def audio_features_sql(sf: str | None = None) -> str:
 
 
 # ---------------------------------------------------------------------------
+# video_frames (operators/avi.py + multimodal.sample_frames)
+# ---------------------------------------------------------------------------
+
+
+def video_frames_rows(sf: str, n_bins: int = 16, stride: int = 2):
+    """Mirror of q_video_frames WITHOUT any container or codec code: the
+    twin computes each sampled frame's PIXELS from the deterministic
+    generation formulas and derives frame_idx/ts_ms/metadata/f0 directly,
+    so the Spark side only matches if the whole chain is exact — AVI RIFF
+    walk → per-frame JPEG Huffman/IDCT decode (bit-exact by the DC-only
+    block-constant argument, operators/jpeg.py) → PNG re-encode →
+    PNG header parse + inflate/unfilter decode → histogram.
+
+    Lanes: doc_id % 11 == 0 → NULL payload, row disappears;
+    doc_id % 4 == 3 → NFSV fake container (frame f reuses the fake-image
+    PRNG at seed+f); else → MJPEG AVI (frame f is block-constant gray at
+    unit quant, seed (doc_id + 17·f) % 251).  Every sampled frame is
+    emitted as a real PNG, so codec is 'png' for all rows."""
+    out = []
+    for doc_id, _text, _lang in _docs(sf):
+        if doc_id % 11 == 0:
+            continue
+        fps = 5 + doc_id % 5
+        n_frames = 2 + doc_id % 3
+        if doc_id % 4 == 3:
+            w, h = 12, 6
+            seed = doc_id % 251
+
+            def frame_body(f, w=w, h=h, seed=seed):
+                rng = (
+                    np.arange(w * h, dtype=np.uint32)
+                    * np.uint32(2654435761)
+                    + np.uint32(seed + f)
+                )
+                return (rng >> 24).astype(np.uint8)
+        else:
+            w, h = 16 + 8 * (doc_id % 3), 8 + 8 * (doc_id % 2)
+
+            def frame_body(f, w=w, h=h, doc_id=doc_id):
+                nb = (w // 8) * (h // 8)
+                vals = (
+                    (
+                        np.arange(nb, dtype=np.uint32)
+                        * np.uint32(2654435761)
+                        + np.uint32((doc_id + 17 * f) % 251)
+                    ) >> 24
+                ).astype(np.uint8)
+                return np.repeat(vals, 64)
+        for i in range(0, n_frames, stride):
+            body = frame_body(i)
+            hist, _ = np.histogram(body, bins=n_bins, range=(0, 256))
+            total = hist.sum() or 1
+            f0 = float(np.float32(hist[0] / total))
+            out.append((
+                doc_id, i, i * 1000 // fps, "png", w, h, 1, n_bins,
+                _round_half_up(f0, 6),
+            ))
+    return out
+
+
+def video_frames_sql(sf: str | None = None) -> str:
+    rows = video_frames_rows(sf or sf_dir())
+    return values_sql(
+        rows,
+        [("doc_id", "BIGINT"), ("frame_idx", "INTEGER"),
+         ("ts_ms", "BIGINT"), ("codec", "VARCHAR"),
+         ("width", "INTEGER"), ("height", "INTEGER"),
+         ("channels", "INTEGER"), ("n_bins", "INTEGER"),
+         ("f0", "DOUBLE")],
+    )
+
+
+# ---------------------------------------------------------------------------
 # decontaminate (operators/corpus.py)
 # ---------------------------------------------------------------------------
 
