@@ -24,10 +24,12 @@ Implemented:
   (index == gray value); RGB input builds a sorted unique-color palette
   and raises ``ValueError`` past 256 distinct colors (GIF's hard limit)
 
-Honestly NOT implemented (raise ``NotImplementedError``, same convention
-as the PNG/JPEG/video stubs): interlaced frames (rare on the modern
-web), animation (only the FIRST frame decodes — multi-frame iteration
-belongs to the video family's ``sample_frames``).
+Interlaced frames decode for real (round 5): the four-pass GIF89a row
+order is a pure reorder applied after LZW (``_interlace_rows``), and the
+encoder can write interlaced fixtures so the round trip pins the inverse
+exactly.  Honestly NOT implemented: animation (only the FIRST frame
+decodes — multi-frame iteration belongs to the video family's
+``sample_frames``).
 
 Determinism contract (what the driver oracle pins): LZW is lossless, so
 ``gif_decode(gif_encode(img))`` is BIT-EXACT palette-expanded RGB for any
@@ -255,8 +257,21 @@ def _build_palette(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return palette, idx.reshape(h, w)
 
 
-def gif_encode(arr: np.ndarray) -> bytes:
-    """Encode (h,w) / (h,w,1) grayscale or (h,w,3) RGB uint8 → GIF89a."""
+def _interlace_rows(h: int) -> np.ndarray:
+    """Display-row order of the four GIF89a interlace passes: stored row
+    k of an interlaced frame belongs at display row result[k]."""
+    return np.concatenate([
+        np.arange(0, h, 8), np.arange(4, h, 8),
+        np.arange(2, h, 4), np.arange(1, h, 2),
+    ])
+
+
+def gif_encode(arr: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode (h,w) / (h,w,1) grayscale or (h,w,3) RGB uint8 → GIF89a.
+
+    ``interlace=True`` stores the rows in the four-pass GIF89a order and
+    sets the descriptor flag — the decode twin must invert the reorder
+    exactly for the round trip to stay bit-exact."""
     palette, idx = _build_palette(np.asarray(arr))
     h, w = idx.shape
     if not (0 < w <= 0xFFFF and 0 < h <= 0xFFFF):
@@ -273,8 +288,10 @@ def gif_encode(arr: np.ndarray) -> bytes:
     out += gct.tobytes()
     out.append(_IMAGE_SEP)
     out += struct.pack("<HHHH", 0, 0, w, h)
-    out.append(0)  # no local table, not interlaced
+    out.append(0x40 if interlace else 0)  # no local table
     out.append(mcs)
+    if interlace:
+        idx = idx[_interlace_rows(h)]
     out += _blocks(lzw_encode(idx.tobytes(), mcs))
     out.append(_TRAILER)
     return bytes(out)
@@ -305,10 +322,9 @@ def gif_decode(payload: bytes) -> np.ndarray:
     background-color canvas of the LOGICAL SCREEN size, so the output
     shape always agrees with ``gif_header``'s dimensions even for the
     common frame-smaller-than-screen optimization.  Extensions are
-    skipped; interlaced frames raise (honest stub — the four-pass row
-    shuffle is rare on the modern web); animation beyond frame 0 is
-    ignored by design (``sample_frames`` owns frame iteration for the
-    video family)."""
+    skipped; interlaced frames de-interlace via the four-pass row
+    reorder; animation beyond frame 0 is ignored by design
+    (``sample_frames`` owns frame iteration for the video family)."""
     hdr = gif_header(payload)
     if hdr is None:
         raise ValueError("not a GIF payload")
@@ -349,12 +365,6 @@ def gif_decode(payload: bytes) -> np.ndarray:
                 payload[pos : pos + 3 * n], dtype=np.uint8
             ).reshape(n, 3)
             pos += 3 * n
-        if iflags & 0x40:
-            raise NotImplementedError(
-                "interlaced GIF decode not implemented (stdlib codec "
-                "covers the dominant sequential layout; real clusters "
-                "swap in PIL/libgif)"
-            )
         if palette is None:
             raise ValueError("GIF: frame has no color table")
         if left + w > sw or top + h > sh:
@@ -378,7 +388,15 @@ def gif_decode(payload: bytes) -> np.ndarray:
             if gct is not None and bg_index < len(gct)
             else np.zeros(3, dtype=np.uint8)
         )
+        rect = palette[idx].reshape(h, w, 3)
+        if iflags & 0x40:
+            # interlaced frame: rows arrive in the four GIF89a passes
+            # (0,8,16,… then 4,12,… then 2,6,… then 1,3,…) — stored row k
+            # is display row _interlace_rows(h)[k], a pure reorder
+            de = np.empty_like(rect)
+            de[_interlace_rows(h)] = rect
+            rect = de
         out = np.broadcast_to(bg, (sh, sw, 3)).copy()
-        out[top : top + h, left : left + w] = palette[idx].reshape(h, w, 3)
+        out[top : top + h, left : left + w] = rect
         return out
     raise ValueError("GIF: no image descriptor before trailer")

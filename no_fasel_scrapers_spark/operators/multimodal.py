@@ -6,7 +6,8 @@ signatures) is real and tested.  Four codecs decode for real in-sandbox:
 
 - **PNG** — a stdlib-only (zlib + struct) decoder: chunk walk, IHDR parse,
   IDAT inflate, full scanline unfiltering (filter types 0-4 incl. Paeth)
-  for 8-bit gray / gray+alpha / RGB / RGBA.  ``_decode_image_real`` returns
+  for 8-bit gray / gray+alpha / RGB / RGBA / palette (PLTE expansion to
+  RGB, round 5).  ``_decode_image_real`` returns
   the pixel array; ``png_encode`` writes spec-compliant files for fixtures.
 - **JPEG** — a stdlib+numpy DCT codec (``operators/jpeg.py``): marker
   walk, canonical Huffman, dequant + IDCT, chroma upsampling.  Baseline
@@ -16,7 +17,8 @@ signatures) is real and tested.  Four codecs decode for real in-sandbox:
 - **GIF** — a stdlib+numpy LZW codec (``operators/gif.py``): screen
   descriptor, global/local color tables, extension skipping, real LZW
   both directions (width growth to 12 bits, table-full clears); first
-  frame decodes to palette-expanded RGB, interlace honestly raises.
+  frame decodes to palette-expanded RGB incl. the four-pass interlace
+  reorder (round 5).
 - the deterministic **fake codec** (``fake_encode``) used where a real
   format would add nothing to the plumbing under test.
 
@@ -102,6 +104,31 @@ def png_encode(arr: np.ndarray) -> bytes:
     )
 
 
+def png_encode_palette(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """uint8 index array (H,W) + (N,3) palette → color-type-3 PNG bytes.
+
+    Same deterministic recipe as ``png_encode`` (filter 0, one IDAT at
+    zlib level 6) with a PLTE chunk between IHDR and IDAT."""
+    idx = np.asarray(indices, dtype=np.uint8)
+    pal = np.asarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("palette png needs (H,W) indices and (N,3) palette")
+    if not 1 <= len(pal) <= 256:
+        raise ValueError("palette must have 1..256 entries")
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError("palette index out of range")
+    h, w = idx.shape
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def _png_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
     pos = len(PNG_SIG)
     while pos + 8 <= len(payload):
@@ -116,7 +143,9 @@ def _png_chunks(payload: bytes) -> Iterator[tuple[bytes, bytes]]:
 
 def png_header(payload: bytes) -> dict | None:
     """Parse IHDR → (width, height, channels) or None if not a PNG this
-    decoder supports (8-bit, non-interlaced, color types 0/2/4/6)."""
+    decoder supports (8-bit, non-interlaced, color types 0/2/3/4/6).
+    Palette images (color type 3) report 3 channels — they decode to the
+    palette-expanded RGB, same convention as the GIF codec."""
     if payload is None or not payload.startswith(PNG_SIG):
         return None
     for tag, data in _png_chunks(payload):
@@ -127,9 +156,12 @@ def png_header(payload: bytes) -> dict | None:
         )
         if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
             return None
+        if ctype == 3:
+            return {"width": w, "height": h, "channels": 3, "_ctype": 3}
         if ctype not in _PNG_CHANNELS:
             return None
-        return {"width": w, "height": h, "channels": _PNG_CHANNELS[ctype]}
+        return {"width": w, "height": h,
+                "channels": _PNG_CHANNELS[ctype], "_ctype": ctype}
     return None
 
 
@@ -191,7 +223,10 @@ def png_decode(payload: bytes) -> np.ndarray:
     hdr = png_header(payload)
     if hdr is None:
         raise ValueError("not a supported PNG (8-bit non-interlaced)")
-    w, h, c = hdr["width"], hdr["height"], hdr["channels"]
+    w, h = hdr["width"], hdr["height"]
+    # palette images carry ONE index byte per pixel through the filter
+    # pipeline; expansion to RGB happens after unfiltering
+    c = 1 if hdr["_ctype"] == 3 else hdr["channels"]
     idat = b"".join(d for t, d in _png_chunks(payload) if t == b"IDAT")
     raw = zlib.decompress(idat)
     stride = w * c
@@ -232,15 +267,27 @@ def png_decode(payload: bytes) -> np.ndarray:
             prev_list = cur_list
         else:
             raise ValueError(f"unknown PNG filter type {ftype}")
+    if hdr["_ctype"] == 3:
+        plte = next(
+            (d for t, d in _png_chunks(payload) if t == b"PLTE"), None
+        )
+        if plte is None or len(plte) % 3 or not 3 <= len(plte) <= 768:
+            raise ValueError("PNG: missing or malformed PLTE chunk")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = out.reshape(h, w)
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("PNG: palette index out of range")
+        # tRNS (palette alpha) is ignored — entries decode opaque RGB,
+        # the same convention as the GIF codec's palette expansion
+        return pal[idx]
     return out.reshape(h, w, c)
 
 
 def _decode_image_real(payload: bytes) -> np.ndarray:
     """Real codec path: stdlib PNG + baseline/progressive JPEG + GIF decode
     in-sandbox; remaining formats (webp/avif/...) need PIL (absent in this
-    container → NotImplementedError).  Arithmetic/extended JPEG and
-    interlaced GIF raise from inside their decoders with their own honest
-    messages."""
+    container → NotImplementedError).  Arithmetic/extended JPEG raises
+    from inside its decoder with its own honest message."""
     if payload is not None and payload.startswith(PNG_SIG):
         return png_decode(payload)
     if payload is not None and payload.startswith(JPEG_SIG):
@@ -261,7 +308,9 @@ def _decode_image_real(payload: bytes) -> np.ndarray:
 def decode_header(payload: bytes) -> dict:
     png = png_header(payload) if payload is not None else None
     if png is not None:
-        return {**png, "n_bytes": len(payload), "codec": "png"}
+        return {"width": png["width"], "height": png["height"],
+                "channels": png["channels"], "n_bytes": len(payload),
+                "codec": "png"}
     jpg = jpeg_header(payload) if payload is not None else None
     if jpg is not None:
         return {"width": jpg["width"], "height": jpg["height"],
@@ -300,7 +349,7 @@ def _pixel_bytes(payload: bytes) -> np.ndarray | None:
         try:
             return gif_decode(payload).ravel()
         except (ValueError, NotImplementedError):
-            # malformed or interlaced stream: NULL, same contract as JPEG
+            # malformed stream: NULL, same contract as JPEG
             return None
     if len(payload) > 9 and payload[:4] == MAGIC:
         return np.frombuffer(payload, dtype=np.uint8, offset=9)
@@ -368,7 +417,7 @@ def resize_stub(
     and GIF in → GIF out (lossless roundtrip: the resized frame's colors
     are a subset of the source palette, always re-encodable); fake codec
     in → fake codec out; anything else (malformed streams,
-    arithmetic/hierarchical JPEG, interlaced GIF) → NULL."""
+    arithmetic/hierarchical JPEG) → NULL."""
     cols = df.columns
 
     def _run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -160,13 +160,36 @@ def test_decode_skips_extension_blocks():
     assert np.array_equal(gif_decode(spliced)[:, :, 0], img)
 
 
-def test_interlaced_raises_honestly():
-    payload = bytearray(gif_encode(_gray(5, 5)))
+@pytest.mark.parametrize("h", [1, 2, 3, 4, 5, 8, 9, 16, 23])
+def test_interlaced_roundtrip_every_pass_boundary(h):
+    """Interlaced frames decode for real (round 5): the encoder stores
+    rows in the four GIF89a passes and sets the flag; decode must invert
+    the reorder exactly.  Heights 1-23 cover every pass-emptiness case
+    (h<2: passes 2-4 empty; h<3: pass 3 partially empty, ...)."""
+    img = _gray(h, 7)
+    seq = gif_decode(gif_encode(img))
+    inter = gif_decode(gif_encode(img, interlace=True))
+    assert np.array_equal(inter, seq)
+    assert np.array_equal(inter[:, :, 0], img)
+
+
+def test_interlace_flag_set_and_rows_permuted_in_stream():
+    """The interlaced payload differs from the sequential one exactly in
+    the descriptor flag + row order — a decoder ignoring the flag would
+    see a row permutation, so equality above is not vacuous."""
+    img = _gray(9, 4)
+    seq = gif_encode(img)
+    inter = gif_encode(img, interlace=True)
     sep = 13 + 3 * 256
-    assert payload[sep] == 0x2C
-    payload[sep + 9] |= 0x40  # set the interlace flag
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        gif_decode(bytes(payload))
+    assert seq[sep] == 0x2C and inter[sep] == 0x2C
+    assert seq[sep + 9] == 0x00
+    assert inter[sep + 9] == 0x40
+    assert seq != inter
+    from no_fasel_scrapers_spark.operators.gif import _interlace_rows
+
+    order = _interlace_rows(9)
+    assert sorted(order.tolist()) == list(range(9))
+    assert order.tolist() == [0, 8, 4, 2, 6, 1, 3, 5, 7]
 
 
 def test_decode_rejects_truncation_and_garbage():
@@ -242,10 +265,18 @@ def test_real_decode_and_pixel_bytes():
     assert np.array_equal(_decode_image_real(payload)[:, :, 0], img)
     body = _pixel_bytes(payload)
     assert np.array_equal(body, np.repeat(img.ravel(), 3))
-    # interlaced payloads degrade to NULL features, not a batch failure
-    broken = bytearray(payload)
-    broken[13 + 3 * 256 + 9] |= 0x40
-    assert _pixel_bytes(bytes(broken)) is None
+    # flipping the interlace flag on a sequentially-stored stream decodes
+    # (interlace is a row reorder, round 5): rows land de-interleaved
+    from no_fasel_scrapers_spark.operators.gif import _interlace_rows
+
+    flipped = bytearray(payload)
+    flipped[13 + 3 * 256 + 9] |= 0x40
+    got = _pixel_bytes(bytes(flipped)).reshape(8, 16, 3)[:, :, 0]
+    want = np.empty_like(img)
+    want[_interlace_rows(8)] = img
+    assert np.array_equal(got, want)
+    # genuinely malformed payloads still degrade to NULL features
+    assert _pixel_bytes(payload[: len(payload) // 2]) is None
 
 
 def test_resize_gif_payload(spark):

@@ -132,6 +132,56 @@ def test_multiple_idat_chunks():
     assert np.array_equal(png_decode(out), img)
 
 
+def test_palette_png_roundtrip_and_contract():
+    """Color type 3 decodes for real (round 5): indices ride the filter
+    pipeline one byte per pixel, PLTE expands to RGB after unfiltering —
+    same output convention as the GIF codec."""
+    from no_fasel_scrapers_spark.operators.multimodal import (
+        png_encode_palette,
+    )
+
+    idx = (_pixels(9, 6, 1)[:, :, 0] % 5).astype(np.uint8)
+    pal = np.array(
+        [[250, 0, 0], [0, 250, 0], [0, 0, 250], [7, 7, 7], [99, 50, 1]],
+        dtype=np.uint8,
+    )
+    payload = png_encode_palette(idx, pal)
+    hdr = png_header(payload)
+    assert (hdr["width"], hdr["height"], hdr["channels"]) == (6, 9, 3)
+    out = png_decode(payload)
+    assert out.shape == (9, 6, 3)
+    assert np.array_equal(out, pal[idx])
+    m = decode_header(payload)
+    assert m["codec"] == "png" and m["channels"] == 3
+    assert sorted(m) == ["channels", "codec", "height", "n_bytes", "width"]
+
+    # out-of-range palette index -> ValueError at decode (and encode)
+    with pytest.raises(ValueError, match="index"):
+        png_encode_palette(idx + 10, pal)
+    bad = png_encode_palette(idx, np.vstack([pal] * 40)[:200])
+    # splice the PLTE down to 3 entries: indices 3/4 now out of range
+    def chunk(tag, data):
+        body = tag + data
+        return (struct.pack(">I", len(data)) + body
+                + struct.pack(">I", zlib.crc32(body)))
+
+    parts = [PNG_SIG]
+    pos = len(PNG_SIG)
+    while pos + 8 <= len(bad):
+        (ln,) = struct.unpack(">I", bad[pos:pos + 4])
+        tag = bad[pos + 4:pos + 8]
+        data = bad[pos + 8:pos + 8 + ln]
+        parts.append(chunk(tag, data[:9] if tag == b"PLTE" else data))
+        pos += 12 + ln
+    with pytest.raises(ValueError, match="index out of range"):
+        png_decode(b"".join(parts))
+    # PLTE missing entirely -> ValueError
+    with pytest.raises(ValueError, match="PLTE"):
+        png_decode(b"".join(
+            p for p in parts if not (len(p) > 8 and p[4:8] == b"PLTE")
+        ))
+
+
 def test_unsupported_variants_fall_back_cleanly():
     # 16-bit depth and interlaced headers parse as unsupported -> None
     def ihdr_png(depth, interlace):
