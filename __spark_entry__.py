@@ -1604,7 +1604,11 @@ def q_media_features(spark, sf_dir):
     (operators/gif.py, round 5 — completes the web-image trio): LZW is
     lossless, so the twin predicts the palette-expanded RGB pixels while
     the engine walks the real descriptor / sub-block / LZW / palette
-    path.  Remaining rows use the fake codec."""
+    path.  Round 5: odd lane-0 docs are PALETTE PNGs (color type 3, the
+    identity gray ramp — decoded RGB is each index tripled, same math as
+    the GIF twin) and odd lane-2 GIFs store their frame INTERLACED
+    (identical pixels, so the twin is unchanged while the four-pass
+    reorder runs inside the gate).  Remaining rows use the fake codec."""
     import numpy as np
     import pandas as pd
 
@@ -1614,6 +1618,7 @@ def q_media_features(spark, sf_dir):
         extract_features,
         fake_encode,
         png_encode,
+        png_encode_palette,
         with_media_metadata,
     )
 
@@ -1637,6 +1642,20 @@ def q_media_features(spark, sf_dir):
             return jpeg_encode(img, quant=1)
         w, h = 16 + i % 16, 8 + i % 8
         if i % 5 == 0:
+            if i % 2 == 1:
+                # palette sub-lane (round 5): gray indices through the
+                # identity 256-gray ramp — decodes to each value tripled,
+                # the same convention the GIF twin already predicts
+                rng = (
+                    np.arange(w * h, dtype=np.uint32)
+                    * np.uint32(2654435761)
+                    + np.uint32(seed)
+                )
+                idx = (rng >> 24).astype(np.uint8).reshape(h, w)
+                ramp = np.repeat(
+                    np.arange(256, dtype=np.uint8), 3
+                ).reshape(256, 3)
+                return png_encode_palette(idx, ramp)
             c = 1 + i % 3
             n = w * h * c
             rng = (
@@ -1650,7 +1669,13 @@ def q_media_features(spark, sf_dir):
                 np.arange(w * h, dtype=np.uint32) * np.uint32(2654435761)
                 + np.uint32(seed)
             )
-            return gif_encode((rng >> 24).astype(np.uint8).reshape(h, w))
+            # odd docs store the frame interlaced (round 5) — identical
+            # pixels, so the oracle is unchanged but the four-pass
+            # reorder now runs inside the driver's gate
+            return gif_encode(
+                (rng >> 24).astype(np.uint8).reshape(h, w),
+                interlace=bool(i % 2),
+            )
         return fake_encode(w, h, 1, seed)
 
     def _gen(batches):

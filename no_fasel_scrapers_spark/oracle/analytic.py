@@ -563,14 +563,21 @@ def media_features_rows(sf: str, n_bins: int = 16):
         else:
             w, h = 16 + doc_id % 16, 8 + doc_id % 8
             lane = doc_id % 5
-            gen_c = 1 + doc_id % 3 if lane == 0 else 1
+            palette_png = lane == 0 and doc_id % 2 == 1
+            gen_c = 1 + doc_id % 3 if lane == 0 and not palette_png else 1
             n = w * h * gen_c
             rng = (
                 np.arange(n, dtype=np.uint32) * np.uint32(2654435761)
                 + np.uint32(seed)
             )
             body = (rng >> 24).astype(np.uint8)
-            if lane == 0:
+            if palette_png:
+                # round 5: odd lane-0 docs are color-type-3 PNGs through
+                # the identity gray ramp — decoded RGB is each index
+                # tripled, identical math to the GIF lane below
+                codec, c = "png", 3
+                body = np.repeat(body, 3)
+            elif lane == 0:
                 codec, c = "png", gen_c
             elif lane == 2:
                 # GIF decodes to palette-expanded RGB: each gray value
