@@ -48,6 +48,7 @@ from typing import Iterator, Sequence
 import numpy as np
 
 from no_fasel_scrapers_spark.operators.jpeg import jpeg_decode, jpeg_encode
+from no_fasel_scrapers_spark.operators.wav import riff_chunks
 
 AVI_RIFF = b"RIFF"
 AVI_MAGIC = b"AVI "
@@ -155,18 +156,9 @@ def avi_encode(
 def _chunks(payload: bytes, pos: int, end: int) -> Iterator[
     tuple[bytes, int, int]
 ]:
-    """Yield (tag, data_offset, data_size) walking RIFF chunks in
-    payload[pos:end]; raises ValueError when a chunk header or its
-    declared body is cut (same contract as operators/wav._chunks)."""
-    while pos < end:
-        if pos + 8 > end:
-            raise ValueError("avi: truncated chunk header")
-        tag = payload[pos:pos + 4]
-        (size,) = struct.unpack_from("<I", payload, pos + 4)
-        if pos + 8 + size > end:
-            raise ValueError(f"avi: chunk {tag!r} truncated")
-        yield tag, pos + 8, size
-        pos += 8 + size + (size % 2)  # odd chunks carry a pad byte
+    """The shared RIFF walk (operators/wav.riff_chunks) with this codec's
+    error prefix — one invariant, two codecs."""
+    return riff_chunks(payload, pos, end, who="avi")
 
 
 def avi_header(payload: bytes) -> dict | None:
@@ -188,8 +180,10 @@ def avi_header(payload: bytes) -> dict | None:
         raise ValueError("avi: truncated RIFF body")
     avih = None
     vids = None   # (fccHandler, dwScale, dwRate, dwLength)
+    vid_stream = None  # strl order position = the stream number in ckids
     bmp = None    # (biBitCount, biCompression)
     movi = None
+    n_streams = 0
     for tag, off, size in _chunks(payload, 12, end):
         if tag != b"LIST":
             continue  # idx1 / JUNK / unknown top-level chunks
@@ -204,6 +198,8 @@ def avi_header(payload: bytes) -> dict | None:
                         raise ValueError("avi: avih chunk too short")
                     avih = struct.unpack_from(_AVIH, payload, o2)
                 elif t2 == b"LIST" and payload[o2:o2 + 4] == b"strl":
+                    sidx = n_streams
+                    n_streams += 1
                     in_vids = False
                     for t3, o3, s3 in _chunks(payload, o2 + 4, o2 + s2):
                         if t3 == b"strh":
@@ -213,6 +209,7 @@ def avi_header(payload: bytes) -> dict | None:
                             in_vids = sh[0] == b"vids" and vids is None
                             if in_vids:
                                 vids = (sh[1], sh[6], sh[7], sh[9])
+                                vid_stream = sidx
                         elif t3 == b"strf" and in_vids:
                             if s3 < struct.calcsize(_STRF_BMP):
                                 raise ValueError("avi: strf too short")
@@ -243,30 +240,37 @@ def avi_header(payload: bytes) -> dict | None:
         "fps": fps,
         "_movi_off": movi[0],
         "_movi_size": movi[1],
+        "_stream": vid_stream,
     }
 
 
-def _movi_frames(payload: bytes, pos: int, end: int) -> Iterator[bytes]:
+def _movi_frames(
+    payload: bytes, pos: int, end: int, want: bytes
+) -> Iterator[bytes]:
     for tag, off, size in _chunks(payload, pos, end):
         if tag == b"LIST" and payload[off:off + 4] == b"rec ":
-            yield from _movi_frames(payload, off + 4, off + size)
-        elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
+            yield from _movi_frames(payload, off + 4, off + size, want)
+        elif tag[:2] == want and tag[2:4] in (b"dc", b"db"):
             yield payload[off:off + size]
 
 
 def avi_frame_chunks(payload: bytes, meta: dict | None = None) -> Iterator[
     bytes
 ]:
-    """Yield each video frame's JPEG bytes in stream order by walking the
-    movi list (``00dc`` compressed / ``00db`` uncompressed-tagged chunks,
-    ``LIST rec `` groupings recursed; idx1 deliberately ignored).  Pass an
-    ``avi_header`` result as ``meta`` to skip re-walking the headers."""
+    """Yield the SELECTED video stream's frame JPEG bytes in stream order
+    by walking the movi list (``NNdc`` compressed / ``NNdb``
+    uncompressed-tagged chunks where NN is the stream number
+    ``avi_header`` picked — a second video or audio stream's chunks are
+    skipped, not interleaved; ``LIST rec `` groupings recursed; idx1
+    deliberately ignored).  Pass an ``avi_header`` result as ``meta`` to
+    skip re-walking the headers."""
     if meta is None:
         meta = avi_header(payload)
     if meta is None:
         raise ValueError("avi: not a RIFF/AVI payload")
     off, size = meta["_movi_off"], meta["_movi_size"]
-    yield from _movi_frames(payload, off, off + size)
+    want = b"%02d" % meta["_stream"]
+    yield from _movi_frames(payload, off, off + size, want)
 
 
 def avi_decode_frames(

@@ -534,7 +534,6 @@ def sample_frames(
     payloads yield no frames either way.
     """
     from no_fasel_scrapers_spark.operators.avi import (
-        avi_decode_frames,
         avi_frame_chunks,
         avi_header,
     )
@@ -572,32 +571,40 @@ def sample_frames(
                     fps = hdr["fps"]
                     sampled = _nfsv_frames()
                 else:
+                    # the WHOLE avi path sits in the try: truncation can
+                    # surface from the movi walk or a corrupt frame's
+                    # JPEG decode, not just the header parse, and
+                    # strict=False must skip those rows too
                     try:
                         ahdr = avi_header(payload)
+                        if ahdr is None:
+                            raise NotImplementedError(
+                                "video containers beyond MJPEG-AVI and "
+                                "NFSV need PyAV/ffmpeg (absent here); "
+                                "pass strict=False to skip unknowns"
+                            )
+                        # ONE movi walk, sampling as it goes (movi is the
+                        # frame-count truth — headers lie in the wild);
+                        # only sampled frames are entropy-decoded, and
+                        # the walk stops early once max_frames are in
+                        sampled = []
+                        for i, jpg in enumerate(
+                            avi_frame_chunks(payload, ahdr)
+                        ):
+                            if i % stride:
+                                continue
+                            arr = jpeg_decode(jpg)
+                            if arr.ndim == 2:
+                                arr = arr[:, :, None]
+                            sampled.append((i, arr))
+                            if (max_frames is not None
+                                    and len(sampled) >= max_frames):
+                                break
                     except (ValueError, NotImplementedError):
-                        # truncated AVI or a non-MJPEG stream codec
                         if strict:
                             raise
                         continue
-                    if ahdr is None:
-                        if not strict:
-                            continue
-                        raise NotImplementedError(
-                            "video containers beyond MJPEG-AVI and NFSV "
-                            "need PyAV/ffmpeg (absent here); pass "
-                            "strict=False to skip unknowns"
-                        )
-                    # count actual movi chunks (headers lie in the wild);
-                    # the walk never touches frame bytes, and only the
-                    # sampled frames are entropy-decoded below
-                    n_actual = sum(
-                        1 for _ in avi_frame_chunks(payload, ahdr)
-                    )
-                    idxs = range(0, n_actual, stride)
-                    if max_frames is not None:
-                        idxs = list(idxs)[:max_frames]
                     fps = ahdr["fps"]
-                    sampled = avi_decode_frames(payload, idxs, ahdr)
                 for i, arr in sampled:
                     for col in cols:
                         rows[col].append(rec[col])

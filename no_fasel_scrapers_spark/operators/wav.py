@@ -87,20 +87,28 @@ def wav_encode(samples: np.ndarray, sample_rate: int, bits: int = 16) -> bytes:
     )
 
 
-def _chunks(payload: bytes) -> Iterator[tuple[bytes, int, int]]:
-    """Yield (tag, data_offset, data_size) walking RIFF chunks; raises
-    ValueError when a chunk header or its declared body is cut."""
-    pos = 12
-    n = len(payload)
+def riff_chunks(
+    payload: bytes, pos: int = 12, end: int | None = None, who: str = "wav"
+) -> Iterator[tuple[bytes, int, int]]:
+    """Yield (tag, data_offset, data_size) walking RIFF chunks in
+    payload[pos:end]; raises ValueError when a chunk header or its
+    declared body is cut.  THE one RIFF walk invariant (little-endian
+    sizes, odd chunks carry a pad byte, truncation is corruption) —
+    shared by the WAV and AVI codecs so their contracts cannot
+    diverge."""
+    n = len(payload) if end is None else end
     while pos < n:
         if pos + 8 > n:
-            raise ValueError("wav: truncated chunk header")
+            raise ValueError(f"{who}: truncated chunk header")
         tag = payload[pos:pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         if pos + 8 + size > n:
-            raise ValueError(f"wav: chunk {tag!r} truncated")
+            raise ValueError(f"{who}: chunk {tag!r} truncated")
         yield tag, pos + 8, size
         pos += 8 + size + (size % 2)  # odd chunks carry a pad byte
+
+
+_chunks = riff_chunks  # wav-internal callers below
 
 
 def wav_header(payload: bytes) -> dict | None:

@@ -126,6 +126,58 @@ class TestAviCodec:
             assert csize == ln
 
 
+class TestAviMultiStream:
+    def _two_stream_avi(self):
+        """Hand-splice a second (audio-ish) stream: an extra strl AFTER
+        the vids strl and interleaved '01dc' chunks inside movi — a
+        correct reader must skip both."""
+        from no_fasel_scrapers_spark.operators.avi import (
+            _AVIH, _STRH, _chunk, _list,
+        )
+
+        frames = _frames(n=3, h=8, w=8, ch=1)
+        jpegs = [jpeg_encode(f, quant=1, subsampling="4:4:4")
+                 for f in frames]
+        avih = struct.pack(_AVIH, 100000, 0, 0, 0x10, 3, 0, 2, 0, 8, 8,
+                           0, 0, 0, 0)
+        strh_v = struct.pack(_STRH, b"vids", b"MJPG", 0, 0, 0, 0, 1, 10,
+                             0, 3, 0, 0, 0, 0, 0, 8, 8)
+        strf_v = struct.pack("<IiiHH4sIiiII", 40, 8, 8, 1, 8, b"MJPG",
+                             64, 0, 0, 0, 0)
+        strh_a = struct.pack(_STRH, b"auds", b"\x00\x00\x00\x00", 0, 0,
+                             0, 0, 1, 8000, 0, 100, 0, 0, 1, 0, 0, 0, 0)
+        strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+        hdrl = _list(
+            b"hdrl",
+            _chunk(b"avih", avih)
+            + _list(b"strl", _chunk(b"strh", strh_v)
+                    + _chunk(b"strf", strf_v))
+            + _list(b"strl", _chunk(b"strh", strh_a)
+                    + _chunk(b"strf", strf_a)),
+        )
+        movi = b"".join(
+            _chunk(b"00dc", j) + _chunk(b"01dc", b"\x01\x02\x03")
+            for j in jpegs
+        )
+        body = hdrl + _list(b"movi", movi)
+        payload = (b"RIFF" + struct.pack("<I", 4 + len(body)) + b"AVI "
+                   + body)
+        return payload, frames
+
+    def test_second_stream_chunks_are_skipped(self):
+        payload, frames = self._two_stream_avi()
+        meta = avi_header(payload)
+        assert meta["_stream"] == 0 and meta["n_frames"] == 3
+        chunks = list(avi_frame_chunks(payload, meta))
+        # exactly the three 00dc chunks; the interleaved 01dc junk
+        # (which is not even a JPEG) never reaches the decoder
+        assert len(chunks) == 3
+        for f, c in zip(frames, chunks):
+            assert bytes(c) == jpeg_encode(f, quant=1, subsampling="4:4:4")
+        got = dict(avi_decode_frames(payload))
+        assert sorted(got) == [0, 1, 2]
+
+
 class TestAviSampleFrames:
     def test_spark_samples_avi_and_nfsv_side_by_side(self, spark):
         from no_fasel_scrapers_spark.operators.multimodal import (
@@ -175,3 +227,30 @@ class TestAviSampleFrames:
         with pytest.raises(Exception, match="truncated|PyAV|ffmpeg"):
             sample_frames(df).collect()
         assert sample_frames(df, strict=False).count() == 0
+
+    def test_strict_false_skips_movi_and_frame_corruption(self, spark):
+        """strict=False must also skip rows whose headers parse but whose
+        movi list or frame bytes are corrupt (round-5 review find: the
+        try only wrapped avi_header)."""
+        from no_fasel_scrapers_spark.operators.multimodal import (
+            sample_frames,
+        )
+
+        good = avi_encode(_frames(n=2, h=8, w=8), fps=10)
+        # corrupt a 00dc size field inside movi: headers stay valid
+        movi_at = good.index(b"LIST", 12)
+        dc_at = good.index(b"00dc", movi_at)
+        bad_movi = bytearray(good)
+        bad_movi[dc_at + 4:dc_at + 8] = struct.pack("<I", 0xFFFFFF)
+        # corrupt the first frame's JPEG SOI: container walk succeeds,
+        # jpeg_decode raises ValueError
+        bad_jpeg = bytearray(good)
+        bad_jpeg[dc_at + 8:dc_at + 10] = b"\x00\x00"
+        df = spark.createDataFrame(
+            [(0, bytes(bad_movi)), (1, bytes(bad_jpeg)), (2, good)],
+            "media_id long, payload binary",
+        )
+        with pytest.raises(Exception, match="truncated|JPEG|jpeg"):
+            sample_frames(df).collect()
+        out = sample_frames(df, strict=False).collect()
+        assert {r.media_id for r in out} == {2}

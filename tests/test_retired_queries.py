@@ -55,11 +55,10 @@ def test_registry_is_exactly_50_and_fully_oracle_checked():
     assert not missing, f"oracle-less queries inside the record: {missing}"
 
 
-@pytest.mark.parametrize("name", ["ngram_jaccard", "events_hourly",
-                                  "cosine_pairs_exact", "ann_bruteforce",
-                                  "chunk_documents", "intersect_keys",
-                                  "embedding_near_dup_recall",
-                                  "ivf_recall", "media_metadata"])
+# derived from the registry, not hand-listed: a new retirement that
+# forgot to extend this test would silently lose its value-level check
+# (round-5 review find — exact_dedup was retired without a row here)
+@pytest.mark.parametrize("name", sorted(E.retired_queries()))
 def test_retired_query_matches_oracle(spark, con, name, monkeypatch):
     # the analytic VALUES oracles (embedding_near_dup_recall) bake data
     # from a parquet dir at oracle-BUILD time — pin them to the same sf
