@@ -1572,6 +1572,56 @@ def q_embedding_near_dup_recall(spark, sf_dir):
     )
 
 
+def q_charset_decode(spark, sf_dir):
+    """Legacy-encoding ingestion (round 5): charset sniff + decode at the
+    html-bytes boundary (functions/charset.py — WHATWG ladder: BOM →
+    ≤1024-byte meta prescan → utf-8 default; the same ``decode_html``
+    every extractor inherits through ``parse_html``).
+
+    Five deterministic lanes by doc_id % 5 (functions/charset.SYNTH_LANES)
+    re-encode each document page as utf-8/meta, windows-1256/meta (label
+    normalization), windows-1252 declared as iso-8859-1 (the WHATWG
+    superset rule), utf-16-le with BOM plus a LYING utf-16 meta (BOM must
+    win), and undeclared utf-8.  The engine sniffs + decodes; ``n_ok``
+    counts byte-exact recovery of the encode-roundtrip expectation.
+
+    Scale shape: scan → two narrow Arrow maps (synth, decode) → one
+    5-group partial-agg shuffle.  At 100 TB the decode fuses into the
+    fetch/extract stage it already lives in — zero extra shuffles.
+    Analytic oracle: oracle/analytic.py::charset_decode_rows predicts
+    every lane from the lane table + python codecs, never calling the
+    sniffing code under test."""
+    import pandas as pd
+
+    from no_fasel_scrapers_spark.functions.charset import (
+        synth_page,
+        with_decoded_html,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _synth(it):
+        for pdf in it:
+            out = {"doc_id": [], "payload": [], "expected": []}
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                payload, expected, _, _ = synth_page(int(d), t or "")
+                out["doc_id"].append(int(d))
+                out["payload"].append(payload)
+                out["expected"].append(expected)
+            yield pd.DataFrame(out)
+
+    pages = docs.mapInPandas(
+        _synth, "doc_id long, payload binary, expected string"
+    )
+    dec = with_decoded_html(pages, "payload", "decoded")
+    return dec.groupBy("charset", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("decoded") == F.col("expected")).cast("long"))
+        .alias("n_ok"),
+        F.sum(F.length("decoded")).alias("sum_chars"),
+    )
+
+
 def q_doc_fingerprints(spark, sf_dir):
     """Document fingerprinting: whole-doc xxhash64 + shingle winnow."""
     from no_fasel_scrapers_spark.operators.textstats import (
@@ -2152,7 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "title_cleanups": q_title_cleanups,
         "normalized_title_join": q_normalized_title_join,
         "rollup_status_priority": q_rollup_status_priority,
-        "sessionize_events": q_sessionize_events,
+        "charset_decode": q_charset_decode,
         "trending_id_join": q_trending_id_join,
         "genre_scrub_prune": q_genre_scrub_prune,
         "all_content_index": q_all_content_index,
@@ -2209,6 +2259,9 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_recall": q_ivf_recall,
         "media_metadata": q_media_metadata,
         "exact_dedup": q_exact_dedup,
+        # retired round 5 for charset_decode: window-function coverage
+        # stays registry-checked via top_orders_per_customer
+        "sessionize_events": q_sessionize_events,
     }
 
 
@@ -2266,6 +2319,7 @@ def _analytic_oracles() -> dict[str, str]:
         "video_frames": ao.video_frames_sql,
         "crawl_e2e": ao.crawl_e2e_sql,
         "recrawl_delta": ao.recrawl_delta_sql,
+        "charset_decode": ao.charset_decode_sql,
     }
     for name, build in builders.items():
         try:
@@ -2686,20 +2740,6 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL {_stream_dedup_probe_sql()}
             )
         """,
-        "sessionize_events": """
-            WITH marked AS (
-                SELECT user_id, event_id,
-                       CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
-                              OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
-                            THEN 1 ELSE 0 END AS new_sess
-                FROM events
-                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-            )
-            SELECT user_id,
-                   CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
-                   CAST(COUNT(*) AS BIGINT) AS n_events
-            FROM marked GROUP BY user_id
-        """,
         "trending_id_join": """
             SELECT d.doc_id AS item_id, d.source AS source,
                    substring(d.text, 1, 24) AS title,
@@ -2975,6 +3015,21 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
             INTERSECT
             SELECT l_orderkey FROM lineitem
+        """,
+        # retired round 5 for charset_decode
+        "sessionize_events": """
+            WITH marked AS (
+                SELECT user_id, event_id,
+                       CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                              OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id,
+                   CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM marked GROUP BY user_id
         """,
         # retired round 5 for video_frames (batch semantics stay
         # registry-checked via exact_dedup_stream + training_prep)

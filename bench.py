@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "vocab_top_terms",
     "sample_stratified",
     "pii_scrub",
+    "charset_decode",
 ]
 
 

@@ -19,6 +19,8 @@ import re
 from html import unescape
 from html.parser import HTMLParser
 
+from no_fasel_scrapers_spark.functions.charset import decode_html
+
 _VOID = {
     "area", "base", "br", "col", "embed", "hr", "img", "input",
     "link", "meta", "param", "source", "track", "wbr",
@@ -187,7 +189,7 @@ def parse_html_stdlib(html: bytes | str) -> Node:
     """Reference tree builder on stdlib ``html.parser`` (the semantics oracle
     for the fast tokenizer below; kept for the parity tests)."""
     if isinstance(html, (bytes, bytearray)):
-        html = bytes(html).decode("utf-8", "replace")
+        html = decode_html(html)
     b = _TreeBuilder()
     b.feed(html)
     b.close()
@@ -293,9 +295,12 @@ def _parse_attrs(
 
 
 def parse_html(html: bytes | str) -> Node:
-    """Parse an HTML document (bytes are decoded utf-8/replace) into a tree."""
+    """Parse an HTML document into a tree.  Bytes pass the charset
+    sniffing ladder first (functions/charset.py: BOM → ≤1024-byte meta
+    prescan → utf-8 default, errors='replace') — every extractor and the
+    crawl oracle inherit legacy-encoding support from this one line."""
     if isinstance(html, (bytes, bytearray)):
-        s = bytes(html).decode("utf-8", "replace")
+        s = decode_html(html)
     else:
         s = html
     root = Node("[document]", {}, None)

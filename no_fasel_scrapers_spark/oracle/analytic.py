@@ -983,3 +983,37 @@ def recrawl_delta_sql(sf: str | None = None) -> str:
          ("n_records", "BIGINT"), ("text_bytes", "BIGINT"),
          ("n_refetched", "BIGINT"), ("refetch_text_bytes", "BIGINT")],
     )
+
+
+# ---------------------------------------------------------------------------
+# charset_decode (round 5): legacy-encoding sniff + decode over synthesized
+# per-lane payloads.  The synth builder (functions/charset.synth_page) is
+# INPUT generation shared with the Spark query; the prediction below uses
+# only the lane table and python codecs — never sniff_charset/decode_html —
+# so a meta-prescan or label-normalization bug in the engine diverges here.
+# ---------------------------------------------------------------------------
+
+def charset_decode_rows(sf: str):
+    from no_fasel_scrapers_spark.functions.charset import synth_page
+
+    agg: dict[tuple[str, str], list[int]] = {}
+    for doc_id, text, _lang in _docs(sf):
+        _, expected, codec, source = synth_page(int(doc_id), text or "")
+        a = agg.setdefault((codec, source), [0, 0, 0])
+        a[0] += 1          # n_docs
+        a[1] += 1          # n_ok: a correct engine decodes every lane
+        a[2] += len(expected)  # sum_chars of the decoded page
+    return [
+        (c, s, n, ok, ch)
+        for (c, s), (n, ok, ch) in sorted(agg.items())
+    ]
+
+
+def charset_decode_sql(sf: str | None = None) -> str:
+    rows = charset_decode_rows(sf or sf_dir())
+    return values_sql(
+        rows,
+        [("charset", "VARCHAR"), ("source", "VARCHAR"),
+         ("n_docs", "BIGINT"), ("n_ok", "BIGINT"),
+         ("sum_chars", "BIGINT")],
+    )
