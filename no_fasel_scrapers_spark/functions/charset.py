@@ -37,11 +37,11 @@ most 1024 bytes and the decode replaces, not adds to, the old
 
 from __future__ import annotations
 
-import codecs
 import re
+from typing import TYPE_CHECKING
 
-import pandas as pd
-from pyspark.sql import DataFrame
+if TYPE_CHECKING:  # pyspark/pandas only needed by with_decoded_html
+    from pyspark.sql import DataFrame
 
 __all__ = ["sniff_charset", "decode_html", "with_decoded_html"]
 
@@ -124,13 +124,19 @@ def sniff_charset(payload: bytes | bytearray) -> tuple[str, str]:
         label = m.group(1).decode("ascii", "ignore").strip().lower()
         codec = _LABELS.get(label)
         if codec is None:
-            # a label outside the carried table: accept it iff python
-            # knows it AND it is ASCII-compatible enough to have been
-            # typed in an ASCII meta tag; otherwise default
+            if label.startswith(("utf-32", "utf_32", "utf32")):
+                # same lying-meta rule as utf-16: real utf-32 bytes could
+                # not have carried this ASCII-shaped declaration
+                return "utf-8", "meta"
+            # a label outside the carried table: accept it iff python can
+            # actually TEXT-decode with it — codecs.lookup alone also
+            # matches bytes-to-bytes codecs (hex/base64/zlib/rot13/uu),
+            # whose later .decode() raises LookupError; one adversarial
+            # page must never crash an extract wave
             try:
-                codecs.lookup(label)
+                b"<".decode(label)
                 codec = label
-            except LookupError:
+            except Exception:
                 return "utf-8", "default"
         return codec, "meta"
     return "utf-8", "default"
@@ -143,10 +149,19 @@ def decode_html(payload: bytes | bytearray | None) -> str:
     if payload is None:
         return ""
     b = bytes(payload)
-    codec, source = sniff_charset(b)
+    return _decode_with(b, *sniff_charset(b))
+
+
+def _decode_with(b: bytes, codec: str, source: str) -> str:
     if source == "bom" and codec.startswith("utf-16"):
         b = b[2:]
-    return b.decode(codec, "replace")
+    try:
+        return b.decode(codec, "replace")
+    except Exception:
+        # contract: this boundary NEVER raises — any codec that slips
+        # through the sniff probe (or fails mid-stream in an exotic way)
+        # degrades to the default, exactly as if the label were unknown
+        return b.decode("utf-8", "replace")
 
 
 def with_decoded_html(
@@ -166,17 +181,17 @@ def with_decoded_html(
 
     def _batches(it):
         for pdf in it:
-            payloads = pdf[payload_col]
-            triples = [
-                (*sniff_charset(p if p is not None else b""),)
-                for p in payloads
-            ]
+            charsets, sources, texts = [], [], []
+            for p in pdf[payload_col]:
+                b = bytes(p) if p is not None else b""
+                codec, source = sniff_charset(b)
+                charsets.append(codec)
+                sources.append(source)
+                texts.append(_decode_with(b, codec, source))
             pdf = pdf.copy()
-            pdf["charset"] = [c for c, _ in triples]
-            pdf["source"] = [s for _, s in triples]
-            pdf[out_col] = [
-                decode_html(p) for p in payloads
-            ]
+            pdf["charset"] = charsets
+            pdf["source"] = sources
+            pdf[out_col] = texts
             yield pdf
 
     return df.mapInPandas(_batches, schema=sch)
@@ -216,8 +231,3 @@ def synth_page(doc_id: int, text: str) -> tuple[bytes, str, str, str]:
         return b"\xff\xfe" + page.encode("utf-16-le"), page, codec, source
     payload = page.encode(codec, "replace")
     return payload, payload.decode(codec), codec, source
-
-
-# keep pandas imported lazily-checkable for lint; mapInPandas hands us
-# pandas frames either way
-_ = pd

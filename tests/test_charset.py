@@ -121,6 +121,23 @@ class TestDecode:
         assert decode_html(None) == ""
         assert decode_html(b"") == ""
 
+    @pytest.mark.parametrize("label", ["hex", "base64", "zlib", "rot13",
+                                       "uu", "bz2", "quopri"])
+    def test_bytes_codec_labels_never_crash(self, label):
+        # codecs.lookup knows these, but they are bytes-to-bytes codecs
+        # whose .decode() raises LookupError — one adversarial page must
+        # never crash an extract wave (round-5 review find)
+        page = f'<meta charset="{label}">hello'.encode()
+        assert sniff_charset(page) == ("utf-8", "default")
+        assert decode_html(page) == page.decode()
+
+    def test_utf32_meta_is_a_lie(self):
+        # same rule as utf-16: ASCII-shaped bytes claiming utf-32 decode
+        # as utf-8, not as length-4 code units of garbage
+        page = b'<meta charset="utf-32">hello'
+        assert sniff_charset(page) == ("utf-8", "meta")
+        assert decode_html(page).endswith("hello")
+
     @settings(max_examples=200, deadline=None)
     @given(st.binary(max_size=300))
     def test_never_raises(self, b):
