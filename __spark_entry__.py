@@ -1961,14 +1961,17 @@ def q_recrawl_delta(spark, sf_dir):
         F.lit(0).alias("priority"), F.lit(0).alias("depth"), "role",
         F.lit(None).cast("string").alias("url_template"),
     )
+    # byte-level Alpha→Gamma, matching the oracle's bytes.replace: the
+    # latin-1 round-trip is byte-transparent, so it works on the fixture's
+    # windows-1256 pages too (strict UTF-8 decode would raise on them)
     pages2 = fx.pages_df(spark).withColumn(
         "html",
         F.encode(
             F.replace(
-                F.decode(F.col("html"), "UTF-8"),
+                F.decode(F.col("html"), "ISO-8859-1"),
                 F.lit("Alpha"), F.lit("Gamma"),
             ),
-            "UTF-8",
+            "ISO-8859-1",
         ),
     )
     cat2 = Catalog(tempfile.mkdtemp(prefix="nfs_recrawl2_"))

@@ -282,11 +282,26 @@ class Fixture:
     def _add_page(self, url: str, html_text: tuple[str, str]) -> None:
         canon = canonicalize_url(url)
         markup, text = html_text
+        payload = markup.encode("utf-8")
+        # ~25% of pages ship windows-1256 with a meta declaration
+        # (round 5): the real web's legacy-encoding share, INSIDE the
+        # crawl loop, so crawl_e2e's value-pinned oracle checks the
+        # charset sniffing ladder too.  Only markup that is losslessly
+        # cp1256-encodable switches, so the extracted text is
+        # byte-identical to the utf-8 twin by construction and the
+        # table's text column stays truthful.
+        if dhash("charset", canon) % 4 == 0:
+            try:
+                payload = (
+                    '<meta charset="windows-1256">' + markup
+                ).encode("cp1256", "strict")
+            except UnicodeEncodeError:
+                pass
         self.pages.append(
             {
                 "url": canon,
                 "warc_offset": dhash(canon) % 1_000_000,
-                "html": markup.encode("utf-8"),
+                "html": payload,
                 "text": text,
                 "lang": "ar" if dhash("lang", canon) % 10 < 6 else "en",
             }

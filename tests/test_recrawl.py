@@ -32,15 +32,17 @@ def small_fx():
 
 
 def _mutated_pages_df(fx, spark):
-    # Alpha→Gamma changes extracted text on every page, no URL changes
+    # Alpha→Gamma changes extracted text on every page, no URL changes.
+    # latin-1 is byte-transparent, so the ASCII replace works on the
+    # fixture's windows-1256 pages too (strict UTF-8 would raise)
     return fx.pages_df(spark).withColumn(
         "html",
         F.encode(
             F.replace(
-                F.decode(F.col("html"), "UTF-8"),
+                F.decode(F.col("html"), "ISO-8859-1"),
                 F.lit("Alpha"), F.lit("Gamma"),
             ),
-            "UTF-8",
+            "ISO-8859-1",
         ),
     )
 
