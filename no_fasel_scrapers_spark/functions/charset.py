@@ -115,10 +115,12 @@ def sniff_charset(payload: bytes | bytearray) -> tuple[str, str]:
         return "utf-16-le", "bom"
     if b[:2] == b"\xfe\xff":
         return "utf-16-be", "bom"
-    head = _COMMENT.sub(b"", b[:_PRESCAN_BYTES])
-    dangling = head.find(b"<!--")  # unclosed comment swallows the rest
-    if dangling != -1:
-        head = head[:dangling]
+    head = b[:_PRESCAN_BYTES]
+    if b"<!--" in head:  # rare: avoid the sub allocation on the hot path
+        head = _COMMENT.sub(b"", head)
+        dangling = head.find(b"<!--")  # unclosed comment swallows the rest
+        if dangling != -1:
+            head = head[:dangling]
     m = _META_CHARSET.search(head)
     if m:
         label = m.group(1).decode("ascii", "ignore").strip().lower()

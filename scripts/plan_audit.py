@@ -166,6 +166,17 @@ EXPECTATIONS = {
         ("ReadSchema: struct<doc_id:bigint,text:string>", True,
          "documents scan pruned to the 2 needed columns"),
     ],
+    "charset_decode": [
+        ("MapInPandas", True,
+         "synth + sniff/decode run Arrow-batched (narrow maps)"),
+        ("BatchEvalPython", False,
+         "no row-at-a-time Python UDF in the chain"),
+        ("partial_count", True,
+         "the 5-group rollup partial-aggregates before its one shuffle"),
+        ("ReadSchema: struct<doc_id:bigint,text:string>", True,
+         "documents scan pruned to the 2 needed columns"),
+        ("CartesianProduct", False, "no accidental cartesian product"),
+    ],
 }
 
 
