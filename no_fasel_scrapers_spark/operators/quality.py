@@ -351,3 +351,52 @@ def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
     for _, pat, repl in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, repl)
     return df.select(*df.columns, *counts, clean.alias("clean_text"))
+
+
+def with_compression_ratio(
+    df: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Append the zlib compression-ratio quality signal (RefinedWeb /
+    MassiveText lineage: highly compressible text is repeated
+    boilerplate, incompressible "text" is junk/binary — both gate well
+    at corpus scale; public papers: "The RefinedWeb Dataset for Falcon
+    LLM", Penedo et al. 2023, and Gopher's repetition family which this
+    complements with a single scalar).
+
+    Columns added per document (NULL text = ''):
+
+    - ``raw_len``     utf-8 byte length
+    - ``comp_len``    ``len(zlib.compress(utf8, level))``
+    - ``comp_ratio``  comp_len / raw_len (1.0 when empty — neutral, so
+                      empty docs neither gate as boilerplate nor junk)
+
+    Scale shape: one Arrow ``mapInPandas`` narrow map, zero shuffle —
+    identical to the repetition-stats lane it normally runs beside.
+    zlib is per-row CPython, but compression IS the operator; there is
+    no JVM-side twin worth having (Spark has no compress() expression),
+    and the Arrow batch path is the sanctioned one for exactly this
+    case.  Deterministic for a fixed zlib level (the default is pinned
+    so engine and any oracle agree byte-for-byte).
+    """
+    import zlib
+
+    sch = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    ) + ", raw_len bigint, comp_len bigint, comp_ratio double"
+
+    def _batches(it):
+        for pdf in it:
+            raw_lens, comp_lens, ratios = [], [], []
+            for t in pdf[text_col]:
+                b = (t or "").encode("utf-8")
+                c = len(zlib.compress(b, level))
+                raw_lens.append(len(b))
+                comp_lens.append(c)
+                ratios.append(c / len(b) if b else 1.0)
+            pdf = pdf.copy()
+            pdf["raw_len"] = raw_lens
+            pdf["comp_len"] = comp_lens
+            pdf["comp_ratio"] = ratios
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=sch)

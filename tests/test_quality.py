@@ -218,3 +218,70 @@ def test_pii_scrub_plan_is_pure_codegen(spark):
     assert "Exchange" not in plan, "pii_scrub must be a narrow map"
     for marker in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython"):
         assert marker not in plan, f"pii_scrub must stay JVM-side ({marker})"
+
+
+class TestCompressionRatio:
+    """zlib compression-ratio signal (with_compression_ratio): parity
+    with a direct python-zlib twin over the corpus sample + probes, and
+    the gate-direction sanity that makes it a quality signal at all."""
+
+    def test_matches_python_twin_and_probes(self, spark):
+        import zlib
+
+        from no_fasel_scrapers_spark.operators.quality import (
+            with_compression_ratio,
+        )
+
+        rows = [
+            (0, "boiler " * 400),                 # repeated → low ratio
+            (1, None),                            # NULL → '' → neutral 1.0
+            (2, ""),                              # empty → neutral 1.0
+            (3, "صفحة عربية " * 50),              # non-ascii utf-8 lens
+            (4, "x"),                             # tiny: ratio > 1 (header)
+            (5, "the quick brown fox jumps over the lazy dog " * 20),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in with_compression_ratio(df).collect()}
+        for doc_id, text in rows:
+            b = (text or "").encode("utf-8")
+            c = len(zlib.compress(b, 6))
+            r = got[doc_id]
+            assert r.raw_len == len(b)
+            assert r.comp_len == c
+            assert r.comp_ratio == (c / len(b) if b else 1.0)
+        # gate direction: repeated boilerplate compresses far better
+        # than varied prose, which beats the single-char header case
+        assert got[0].comp_ratio < got[5].comp_ratio < got[4].comp_ratio
+
+    def test_corpus_sample_parity(self, spark):
+        import zlib
+
+        from no_fasel_scrapers_spark.operators.quality import (
+            with_compression_ratio,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).select("doc_id", "text")
+        got = with_compression_ratio(docs).collect()
+        assert len(got) > 0
+        for r in got:
+            b = (r.text or "").encode("utf-8")
+            assert r.comp_len == len(zlib.compress(b, 6))
+
+    def test_plan_is_single_narrow_map(self, spark):
+        import io
+        from contextlib import redirect_stdout
+
+        from no_fasel_scrapers_spark.operators.quality import (
+            with_compression_ratio,
+        )
+
+        df = spark.createDataFrame([(0, "t")], "doc_id long, text string")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            with_compression_ratio(df).explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan
+        assert "MapInPandas" in plan
+        assert "BatchEvalPython" not in plan
