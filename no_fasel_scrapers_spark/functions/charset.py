@@ -90,18 +90,42 @@ _LABELS = {
     "unicode": "utf-8", "ucs-2": "utf-8",
 }
 
-# charset=... inside a single tag's attribute region ([^>] cannot cross
-# the tag close, so a bare "charset=" in page TEXT never matches).  This
-# one pattern catches both the html5 form <meta charset="utf-8"> and the
-# legacy <meta http-equiv="Content-Type" content="text/html;
-# charset=windows-1256"> form, like html5lib's prescan approximation.
-_META_CHARSET = re.compile(
-    rb"<meta[^>]{0,1000}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:-]+)",
-    re.IGNORECASE,
+# The meta prescan parses ATTRIBUTES, as the WHATWG algorithm does — a
+# bare "charset=" substring match would let a meta DESCRIPTION that
+# merely mentions a charset hijack the document encoding, and would
+# honor charset-bearing non-meta tags like SVG <metadata> (both
+# round-5 review finds, confirmed live).  A label is honored from (a) a
+# real charset attribute, or (b) the content attribute of an
+# http-equiv=content-type meta — nothing else.
+_META_TAG = re.compile(rb"<meta[\s/][^>]{0,1000}", re.IGNORECASE)
+_ATTR = re.compile(
+    rb"([a-zA-Z-]+)\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>/]+)"
+)
+_CONTENT_CHARSET = re.compile(
+    rb"charset\s*=\s*[\"']?\s*([a-zA-Z0-9._:-]+)", re.IGNORECASE
 )
 
 _PRESCAN_BYTES = 1024  # WHATWG: "up to the first 1024 bytes"
 _COMMENT = re.compile(rb"<!--.*?-->", re.S)
+
+
+def _meta_label(head: bytes) -> bytes | None:
+    """First honored charset label in the prescan window, or None."""
+    for m in _META_TAG.finditer(head):
+        attrs: dict[bytes, bytes] = {}
+        for am in _ATTR.finditer(m.group(0)[5:]):
+            k, v = am.group(1).lower(), am.group(2)
+            if v[:1] in (b'"', b"'"):
+                v = v[1:-1] if len(v) >= 2 and v[-1:] == v[:1] else v[1:]
+            attrs.setdefault(k, v)
+        label = attrs.get(b"charset", b"").strip()
+        if label:
+            return label
+        if attrs.get(b"http-equiv", b"").strip().lower() == b"content-type":
+            c = _CONTENT_CHARSET.search(attrs.get(b"content", b""))
+            if c:
+                return c.group(1)
+    return None
 
 
 def sniff_charset(payload: bytes | bytearray) -> tuple[str, str]:
@@ -121,9 +145,9 @@ def sniff_charset(payload: bytes | bytearray) -> tuple[str, str]:
         dangling = head.find(b"<!--")  # unclosed comment swallows the rest
         if dangling != -1:
             head = head[:dangling]
-    m = _META_CHARSET.search(head)
-    if m:
-        label = m.group(1).decode("ascii", "ignore").strip().lower()
+    raw = _meta_label(head)
+    if raw is not None:
+        label = raw.decode("ascii", "ignore").strip().lower()
         codec = _LABELS.get(label)
         if codec is None:
             if label.startswith(("utf-32", "utf_32", "utf32")):
@@ -177,6 +201,14 @@ def with_decoded_html(
     the same shape as the extract stage it normally fuses into: decode
     cost rides the fetch partitioning, nothing re-partitions.
     """
+    clash = {"charset", "source", out_col} & set(df.columns)
+    if clash:
+        # silent overwrite would clobber input data AND emit a duplicate
+        # name in the DDL schema (round-5 review find) — fail loudly
+        raise ValueError(
+            f"with_decoded_html output columns collide with input: "
+            f"{sorted(clash)}; rename or drop them first"
+        )
     sch = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", charset string, source string, {out_col} string"

@@ -50,17 +50,17 @@ def mime_kind(col: Column) -> Column:
     Python.  Order matters — container formats (RIFF) dispatch on their
     inner tag, HTML wins over generic text, text is the last resort
     before unknown."""
-    # strip an optional BOM + leading ASCII whitespace for the HTML/text
-    # probes: ltrim after a latin-1-safe cast would copy the whole blob,
-    # so probe a fixed head window instead (servers' leading whitespace
-    # in the wild is a few bytes; 16 covers BOM + indentation)
-    probes = []
-    for skip in range(0, 16):
-        probes.append(_pfx(col, skip, b"<"))
-    html_like = probes[0]
-    for p in probes[1:]:
-        html_like = html_like | p
-    # a BOM'd document: skip 3 (utf-8) then the same window
+    # HTML rule: leading ASCII whitespace ONLY, then '<', within a
+    # 16-byte head window (servers' leading whitespace in the wild is a
+    # few bytes).  A '<' preceded by arbitrary binary junk must NOT
+    # route to html (round-5 review find — ~6% of random binaries carry
+    # a 0x3C in their head).  decode(...,'ISO-8859-1') is
+    # byte-transparent, and \z (not \Z, which forgives a final line
+    # terminator) anchors the probe exactly.
+    html_like = F.decode(F.substring(col, 1, 16), "ISO-8859-1").rlike(
+        r"\A[ \t\n\x0B\f\r]{0,15}<"
+    )
+    # a BOM'd document: skip 3 (utf-8) then '<' directly
     bom8 = _pfx(col, 0, b"\xef\xbb\xbf")
 
     n = F.length(col)
@@ -96,7 +96,7 @@ def mime_kind(col: Column) -> Column:
         # (a binary→string cast validates utf-8 under ANSI mode)
         .when(
             F.decode(F.substring(col, 1, 8), "ISO-8859-1").rlike(
-                r"\A[\x09-\x7E]+\Z"
+                r"\A[\x09-\x7E]+\z"
             ),
             F.lit("text"),
         )

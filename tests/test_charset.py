@@ -95,6 +95,33 @@ class TestSniff:
             b"<html><body>use charset=windows-1256 here</body></html>"
         ) == ("utf-8", "default")
 
+    def test_description_mentioning_charset_is_not_honored(self):
+        # round-5 review find: 'charset=' inside an unrelated attribute
+        # VALUE (a meta description) must not hijack the encoding — the
+        # prescan parses attributes like the WHATWG algorithm
+        assert sniff_charset(
+            b'<meta name="description" '
+            b'content="set charset=shift_jis in html">'
+        ) == ("utf-8", "default")
+
+    def test_non_meta_tag_with_charset_attr_is_ignored(self):
+        # <metadata> (SVG) starts with 'meta' but is not a meta tag
+        assert sniff_charset(
+            b'<svg><metadata charset="koi8-r">x</metadata></svg>'
+        ) == ("utf-8", "default")
+
+    def test_http_equiv_required_for_content_form(self):
+        # a content attribute carrying charset= WITHOUT
+        # http-equiv=content-type is not a declaration
+        assert sniff_charset(
+            b'<meta content="text/html; charset=windows-1256">'
+        ) == ("utf-8", "default")
+        # ...but with it, it is (order-independent attributes)
+        assert sniff_charset(
+            b'<meta content="text/html; charset=windows-1256" '
+            b'http-equiv="Content-Type">'
+        ) == ("cp1256", "meta")
+
     def test_commented_out_meta_is_skipped(self):
         assert sniff_charset(
             b'<!-- <meta charset="windows-1256"> --><meta charset="utf-8">'

@@ -47,7 +47,11 @@ def _py_twin(b: bytes | None) -> str:
         return "html"
     if b.startswith(b"\xef\xbb\xbf") and b[3:4] == b"<":
         return "html"
-    if any(b[i:i + 1] == b"<" for i in range(16)):
+    # leading ASCII whitespace ONLY, then '<', within the 16-byte head
+    i = 0
+    while i < min(len(b), 15) and b[i] in b" \t\n\x0b\f\r":
+        i += 1
+    if i <= 15 and b[i:i + 1] == b"<":
         return "html"
     head = b[:8]
     if head and all(0x09 <= c <= 0x7E for c in head):
@@ -80,6 +84,11 @@ def _menu() -> list[bytes | None]:
         b"",
         None,
         b"RIFF\x10\x00\x00\x00JUNKxxxx",  # RIFF but neither WAVE nor AVI
+        # round-5 review regressions:
+        b"\x00\x8f<\x02garbage",     # '<' after binary junk is NOT html
+        b"abcdefg\x85tail",          # trailing NEL must not pass \Z-style
+        b"ab\x85",                   # short head ending in NEL
+        b"  \t<svg>leading ws</svg>",  # ws-then-'<' IS html
     ]
 
 
