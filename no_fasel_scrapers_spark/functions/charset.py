@@ -26,8 +26,7 @@ appear in real crawls, including the deliberate superset mappings
 label claiming utf-16 means utf-8 (ASCII-shaped bytes claiming utf-16
 are lying; real utf-16 was caught by the BOM step).  Unknown labels fall
 back to utf-8.  ``x-user-defined`` (a private-use-area mapping Python
-lacks) maps to windows-1252 — a documented divergence; both decode every
-byte, only the 0x80-0x9F images differ.
+lacks) is implemented directly — a 256-entry table per the WHATWG spec.
 
 Everything here is per-row pure-Python by necessity (codecs), but it
 runs INSIDE the existing Arrow extract batches — the sniff touches at
@@ -55,7 +54,7 @@ _LABELS = {
     "windows-1252": "cp1252", "cp1252": "cp1252", "x-cp1252": "cp1252",
     "iso-8859-1": "cp1252", "iso8859-1": "cp1252", "latin1": "cp1252",
     "l1": "cp1252", "ascii": "cp1252", "us-ascii": "cp1252",
-    "x-user-defined": "cp1252",  # divergence documented above
+    "x-user-defined": "x-user-defined",  # WHATWG codec, implemented below
     # arabic
     "windows-1256": "cp1256", "cp1256": "cp1256",
     "iso-8859-6": "iso-8859-6", "arabic": "iso-8859-6",
@@ -178,9 +177,19 @@ def decode_html(payload: bytes | bytearray | None) -> str:
     return _decode_with(b, *sniff_charset(b))
 
 
+# WHATWG x-user-defined: ASCII passes through, 0x80-0xFF map to the
+# private-use range U+F780-U+F7FF.  Python has no codec for it, but the
+# mapping is a 256-entry table — implement it rather than diverge
+# (sites use it to smuggle binary through XHR as "text").
+_X_USER_DEFINED = {i: i if i < 0x80 else 0xF780 - 0x80 + i
+                   for i in range(256)}
+
+
 def _decode_with(b: bytes, codec: str, source: str) -> str:
     if source == "bom" and codec.startswith("utf-16"):
         b = b[2:]
+    if codec == "x-user-defined":
+        return b.decode("latin-1").translate(_X_USER_DEFINED)
     try:
         return b.decode(codec, "replace")
     except Exception:

@@ -32,7 +32,7 @@ class TestSniff:
     @pytest.mark.parametrize("label,codec", [
         ("utf-8", "utf-8"), ("UTF8", "utf-8"),
         ("iso-8859-1", "cp1252"), ("latin1", "cp1252"),
-        ("ascii", "cp1252"), ("x-user-defined", "cp1252"),
+        ("ascii", "cp1252"), ("x-user-defined", "x-user-defined"),
         ("Windows-1256", "cp1256"), ("ISO-8859-6", "iso-8859-6"),
         ("windows-1251", "cp1251"), ("koi8-r", "koi8-r"),
         ("Shift_JIS", "shift_jis"), ("gb2312", "gbk"),
@@ -139,6 +139,11 @@ class TestDecode:
             '<meta charset="windows-1256"><title>%s</title>' % body
         ).encode("cp1256")
         assert body in decode_html(raw)
+
+    def test_x_user_defined_maps_high_bytes_to_private_use(self):
+        raw = b'<meta charset="x-user-defined">ab\x80\xff'
+        got = decode_html(raw)
+        assert got.endswith("ab")
 
     def test_utf16_bom_stripped(self):
         s = decode_html(b"\xff\xfe" + "hi صفحة".encode("utf-16-le"))
