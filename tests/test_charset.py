@@ -188,6 +188,16 @@ class TestDecode:
 
 
 class TestEndToEnd:
+    @settings(max_examples=100, deadline=None)
+    @given(st.binary(max_size=600))
+    def test_parse_html_never_raises_on_bytes(self, b):
+        # the crash-safety property the crawl loop depends on: ANY fetch
+        # payload routed to the extract lane parses to a tree (possibly
+        # empty), never an exception — sniff, decode, and tokenizer all
+        # included
+        root = parse_html(b)
+        assert root.tag == "[document]"
+
     def test_cp1256_page_extracts_same_text_as_utf8_twin(self):
         body = "فيلم الجريمة — الموسم 2"
         html = (
