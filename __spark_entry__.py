@@ -1923,6 +1923,46 @@ def q_crawl_e2e(spark, sf_dir):
     )
 
 
+def q_link_pagerank(spark, sf_dir):
+    """Fixed-point PageRank over the crawled link graph as a frontier /
+    recrawl priority signal (operators/linkrank.py): crawl the fixture
+    site, build (src url, canonicalized dst url) edges from the extracted
+    ``links`` arrays restricted to crawled vertices, run 8 integer power
+    iterations (ranks in 1e-12 units of total mass — long arithmetic, so
+    per-vertex inflow sums are order-independent and the result is
+    bit-identical at any parallelism), and return the top 25 pages.
+    Oracle: the independent Python scheduler + the same integer
+    recurrence (oracle/analytic.link_pagerank_rows) — an EXACT match,
+    no float tolerance anywhere."""
+    import tempfile
+
+    from no_fasel_scrapers_spark.functions.canonical import canonicalize_url
+    from no_fasel_scrapers_spark.operators.linkrank import pagerank
+    from no_fasel_scrapers_spark.plans.crawl import run_crawl
+    from no_fasel_scrapers_spark.sources.catalog import Catalog
+    from no_fasel_scrapers_spark.sources.fixture import Fixture, FixtureConfig
+
+    fx = Fixture(FixtureConfig())
+    cat = Catalog(tempfile.mkdtemp(prefix="nfs_pagerank_"))
+    res = run_crawl(
+        spark, fx.pages_df(spark), fx.seeds_df(spark), fx.robots_df(spark),
+        cat,
+    )
+    ex = res.extracted.select("url", "links").persist()
+    verts = ex.select("url")
+    edges = ex.select(
+        F.col("url").alias("src"), F.explode("links").alias("l")
+    ).select("src", canonicalize_url(F.col("l.url")).alias("dst"))
+    pr = pagerank(verts, edges, k=8)
+    out = (
+        pr.orderBy(F.desc("pr"), "url")
+        .limit(25)
+        .select("url", F.col("pr").alias("pr_units"))
+    )
+    ex.unpersist()
+    return out
+
+
 def q_recrawl_delta(spark, sf_dir):
     """Recrawl/invalidation cycle (the one crawl semantic VERDICT r4 noted
     had no registry row): crawl the fixture site, invalidate a
@@ -2194,7 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "revenue_by_nation": q_revenue_by_nation,
         "top_orders_per_customer": q_top_orders_per_customer,
-        "customers_without_orders": q_customers_without_orders,
+        "link_pagerank": q_link_pagerank,
         "union_precedence_old_wins": q_union_precedence_old_wins,
         "episode_delta": q_episode_delta,
         "anime_delta": q_anime_delta,
@@ -2265,6 +2305,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # retired round 5 for charset_decode: window-function coverage
         # stays registry-checked via top_orders_per_customer
         "sessionize_events": q_sessionize_events,
+        # retired round 5 for link_pagerank: the left_anti shape stays
+        # registry-checked via seen_filter_dedup's exact backstop and
+        # decontaminate's anti-join
+        "customers_without_orders": q_customers_without_orders,
     }
 
 
@@ -2323,6 +2367,7 @@ def _analytic_oracles() -> dict[str, str]:
         "crawl_e2e": ao.crawl_e2e_sql,
         "recrawl_delta": ao.recrawl_delta_sql,
         "charset_decode": ao.charset_decode_sql,
+        "link_pagerank": ao.link_pagerank_sql,
     }
     for name, build in builders.items():
         try:
@@ -2579,10 +2624,6 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rnk
                 FROM orders
             ) WHERE rnk <= 3
-        """,
-        "customers_without_orders": """
-            SELECT c_custkey, c_name FROM customer
-            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         """,
         "union_precedence_old_wins": """
             SELECT o_orderkey, src, o_totalprice FROM (
@@ -3003,6 +3044,11 @@ def retired_oracle_sql() -> dict[str, str]:
         # round 4 (retired round 5 for recrawl_delta and pii_scrub)
         "embedding_near_dup_recall": ao.embedding_near_dup_recall_sql(),
         "ivf_recall": ao.ivf_recall_sql(),
+        # retired round 5 for link_pagerank
+        "customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
         # retired round 5 for audio_features (with_media_metadata stays
         # registry-checked as media_features' first stage)
         "media_metadata": """

@@ -918,6 +918,58 @@ def crawl_e2e_sql(sf: str | None = None) -> str:
 
 
 # ---------------------------------------------------------------------------
+# link_pagerank — fixed-point PageRank over the crawled link graph
+# ---------------------------------------------------------------------------
+
+def link_pagerank_rows(k: int = 8, unit: int = 10**12, top: int = 25):
+    """Python-oracle twin of ``operators/linkrank.pagerank`` over the
+    fixture crawl's link graph: crawl with the independent single-threaded
+    scheduler (plans/oracle_crawler.py), build (src, canonicalized dst)
+    edges restricted to crawled vertices, and run the SAME integer
+    recurrence the Spark operator documents.  All arithmetic is int —
+    sums are order-free — so the match is exact, not tolerance-based."""
+    from ..functions.canonical_py import canonicalize_url
+    from ..plans.oracle_crawler import crawl_oracle
+    from ..sources.fixture import Fixture, FixtureConfig
+
+    fx = Fixture(FixtureConfig())
+    pages = {p["url"]: p["html"] for p in fx.pages}
+    res = crawl_oracle(pages, fx.seeds, fx.robots)
+    vs = sorted({e["url"] for e in res.extracted})
+    vset = set(vs)
+    es = set()
+    for e in res.extracted:
+        for link in e["links"] or []:
+            d = canonicalize_url(link["url"])
+            if d in vset:
+                es.add((e["url"], d))
+    n = len(vs)
+    outdeg: dict[str, int] = {}
+    for s, _ in es:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    dn, dd = 85, 100
+    base = unit // n
+    resid = (unit * (dd - dn) // dd) // n
+    pr = {v: base for v in vs}
+    for _ in range(k):
+        dang = sum(pr[v] for v in vs if v not in outdeg)
+        dang_share = dang // n
+        inflow = {v: 0 for v in vs}
+        for s, d in es:
+            inflow[d] += pr[s] // outdeg[s]
+        pr = {v: resid + (dn * (inflow[v] + dang_share)) // dd for v in vs}
+    ranked = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return list(ranked)
+
+
+def link_pagerank_sql(sf: str | None = None) -> str:
+    return values_sql(
+        link_pagerank_rows(),
+        [("url", "VARCHAR"), ("pr_units", "BIGINT")],
+    )
+
+
+# ---------------------------------------------------------------------------
 # recrawl_delta — seen-set invalidation → re-fetch → O14 merge
 # ---------------------------------------------------------------------------
 

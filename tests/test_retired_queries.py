@@ -14,6 +14,9 @@ Retired (see __spark_entry__.queries() docstring):
   argument — ivf_ann keeps the operator registry-checked)
 - media_metadata (retired round 5 for audio_features; with_media_metadata
   stays registry-checked as media_features' first stage)
+- customers_without_orders (retired round 5 for link_pagerank; the
+  left_anti shape stays registry-checked via seen_filter_dedup's exact
+  backstop and decontaminate's anti-join)
 """
 
 import os
