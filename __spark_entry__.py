@@ -1185,22 +1185,27 @@ def q_media_metadata(spark, sf_dir):
 
 
 def q_audio_features(spark, sf_dir):
-    """Audio modality: WAV (RIFF/PCM) decode + signal features, for real.
+    """Audio modality: WAV decode + signal features, for real.
 
-    Three of four lanes carry REAL WAV payloads built by the stdlib
-    encoder (``operators/wav.py``): PCM16 mono / PCM16 stereo / PCM8 mono
-    (odd byte counts exercise RIFF word-alignment pad bytes); the fourth
-    lane is an image payload, pinning the NULL contract for non-audio
-    rows.  The oracle twin (oracle/analytic.py ``audio_features_rows``)
-    computes features from the synthesized SAMPLES directly — the engine
-    only matches if its RIFF chunk walk + PCM decode round-trips every
-    sample bit-exactly (PCM is lossless; one header or interleave bug
-    shifts them all)."""
+    Five of six lanes carry REAL WAV payloads built by the stdlib
+    encoders (``operators/wav.py``): PCM16 mono / PCM16 stereo / PCM8
+    mono (odd byte counts exercise RIFF word-alignment pad bytes) /
+    IEEE float32 (tag 3, documented rint-clip quantization) / IMA ADPCM
+    (tag 17, block headers + 4-bit recurrence + fact-chunk clipping of
+    the padded final block); the remaining lane is an image payload,
+    pinning the NULL contract for non-audio rows.  The oracle twin
+    (oracle/analytic.py ``audio_features_rows``) computes features from
+    the synthesized SAMPLES directly — through its OWN scalar IMA
+    encode/decode mirror for the ADPCM lane — so the engine only matches
+    if its RIFF walk + decode reproduces every sample bit-exactly (PCM/
+    float quantization are deterministic; the ADPCM lane requires two
+    independent implementations of the full spec recurrence to agree)."""
     import numpy as np
     import pandas as pd
 
     from no_fasel_scrapers_spark.operators.multimodal import fake_encode
     from no_fasel_scrapers_spark.operators.wav import (
+        adpcm_encode,
         audio_features,
         wav_encode,
     )
@@ -1208,7 +1213,7 @@ def q_audio_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("doc_id")
 
     def _payload(i: int) -> bytes:
-        lane = i % 4
+        lane = i % 6
         seed = i % 251
         if lane == 3:
             return fake_encode(8, 8, 1, seed)  # image bytes: not audio
@@ -1221,6 +1226,24 @@ def q_audio_features(spark, sf_dir):
                 ) >> 24
             ).astype(np.uint8)
             return wav_encode(u, 8000, bits=8)
+        if lane == 4:
+            n = 64 + i % 129
+            rng = (
+                np.arange(n, dtype=np.uint32) * np.uint32(2654435761)
+                + np.uint32(seed)
+            )
+            f = (
+                (rng >> 8).astype(np.float64) / float(1 << 23) - 1.0
+            ).astype(np.float32)
+            return wav_encode(f, 48000, bits=32)
+        if lane == 5:
+            n = 505 + i % 300  # pads the final block; fact chunk clips
+            t = np.arange(n, dtype=np.float64)
+            s = (
+                8000 * np.sin(t / (16 + seed % 7))
+                + 2000 * np.sin(t / (5 + seed % 3))
+            ).astype(np.int16)
+            return adpcm_encode(s, 8000)
         ch = 2 if lane == 1 else 1
         n = 64 + i % (127 if lane == 1 else 257)
         rng = (

@@ -612,19 +612,85 @@ def media_features_sql(sf: str | None = None) -> str:
 # audio_features (operators/wav.py)
 # ---------------------------------------------------------------------------
 
+# IMA/DVI ADPCM spec constants — restated here (not imported from the
+# engine) so the oracle's recurrence is an independent implementation
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17,
+    19, 21, 23, 25, 28, 31, 34, 37, 41, 45,
+    50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+    130, 143, 157, 173, 190, 209, 230, 253, 279, 307,
+    337, 371, 408, 449, 494, 544, 598, 658, 724, 796,
+    876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358,
+    5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_roundtrip_scalar(samples: list[int], block_frames: int = 505):
+    """Scalar-python IMA ADPCM encode→decode of a mono int16 signal —
+    the spec recurrence per sample, fully independent of the engine's
+    vectorized numpy blocks.  Mirrors the engine's framing decisions
+    (sample 0 = block predictor, step index carried across blocks, final
+    partial block padded by repeating the last sample, fact count clips
+    the decode)."""
+    n = len(samples)
+    n_blocks = -(-n // block_frames)
+    padded = samples + [samples[-1]] * (n_blocks * block_frames - n)
+    index = 0
+    decoded: list[int] = []
+    for b in range(n_blocks):
+        blk = padded[b * block_frames:(b + 1) * block_frames]
+        pred = blk[0]
+        decoded.append(pred)
+        for t in range(1, block_frames):
+            step = _IMA_STEPS[index]
+            diff = blk[t] - pred
+            code = 0
+            if diff < 0:
+                code = 8
+                diff = -diff
+            if diff >= step:
+                code |= 4
+                diff -= step
+            if diff >= step >> 1:
+                code |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                code |= 1
+            d = step >> 3
+            if code & 1:
+                d += step >> 2
+            if code & 2:
+                d += step >> 1
+            if code & 4:
+                d += step
+            if code & 8:
+                d = -d
+            pred = max(-32768, min(32767, pred + d))
+            index = max(0, min(88, index + _IMA_INDEX[code & 7]))
+            decoded.append(pred)
+    return decoded[:n]
+
+
 def audio_features_rows(sf: str):
     """Mirror of q_audio_features WITHOUT the RIFF roundtrip: the twin
     synthesizes the per-doc sample arrays from the same deterministic
-    formulas and computes the features directly, so the Spark side only
-    matches if ``wav_encode``→``wav_decode`` is bit-exact (PCM is
-    lossless — any header/alignment/interleave bug shifts every sample).
+    formulas and computes the features directly — for the ADPCM lane,
+    through its OWN scalar encode→decode of the spec recurrence — so the
+    Spark side only matches if ``wav_encode``/``adpcm_encode`` →
+    ``wav_decode`` reproduces every sample bit-exactly (PCM is lossless;
+    float32 quantization is the documented rint-clip; ADPCM requires two
+    independent implementations of the full codec path to agree).
 
-    Lanes (doc_id % 4): 0 = PCM16 mono 16 kHz, 1 = PCM16 stereo 44.1 kHz,
+    Lanes (doc_id % 6): 0 = PCM16 mono 16 kHz, 1 = PCM16 stereo 44.1 kHz,
     2 = PCM8 mono 8 kHz (odd sizes exercise RIFF pad bytes), 3 = an image
-    payload — not audio, all-NULL feature row."""
+    payload — not audio, all-NULL feature row, 4 = IEEE float32 mono
+    48 kHz, 5 = IMA ADPCM mono 8 kHz (final-block padding + fact clip)."""
     out = []
     for doc_id, _text, _lang in _docs(sf):
-        lane = doc_id % 4
+        lane = doc_id % 6
         if lane == 3:
             out.append((doc_id,) + (None,) * 8)
             continue
@@ -638,6 +704,29 @@ def audio_features_rows(sf: str):
                 ) >> 24
             ).astype(np.uint8)
             s = ((u.astype(np.int16) - 128) << 8)[:, None]
+        elif lane == 4:
+            n, ch, rate, codec = 64 + doc_id % 129, 1, 48000, "float32"
+            rng = (
+                np.arange(n, dtype=np.uint32) * np.uint32(2654435761)
+                + np.uint32(seed)
+            )
+            f = (
+                (rng >> 8).astype(np.float64) / float(1 << 23) - 1.0
+            ).astype(np.float32)
+            s = np.clip(
+                np.rint(f.astype(np.float64) * 32767.0), -32768, 32767
+            ).astype(np.int16)[:, None]
+        elif lane == 5:
+            n, ch, rate, codec = 505 + doc_id % 300, 1, 8000, "adpcm"
+            t = np.arange(n, dtype=np.float64)
+            sig = (
+                8000 * np.sin(t / (16 + seed % 7))
+                + 2000 * np.sin(t / (5 + seed % 3))
+            ).astype(np.int16)
+            s = np.array(
+                _ima_roundtrip_scalar([int(v) for v in sig]),
+                dtype=np.int16,
+            )[:, None]
         else:
             ch = 2 if lane == 1 else 1
             n = 64 + doc_id % (127 if lane == 1 else 257)
