@@ -553,10 +553,11 @@ def run_crawl(
         # append-log: only this wave's delta is written (O(delta), never a
         # rewrite of the growing set — the 10^10-URL requirement); read_log
         # reassembles base + deltas as a flat multi-path parquet scan.
-        # The write runs on a thread: its job overlaps the (driver-side)
-        # next-frontier plan construction below, which depends on wave_ex
-        # and scheduled but NOT on the seen log; everything that consumes
-        # the updated log sits after the join().
+        # The write runs on a thread: its jobs overlap the ENTIRE
+        # next-frontier stage below (prune + pagination + frontier write),
+        # which depends on wave_ex, scheduled and the PREVIOUS log read but
+        # NOT on this write; everything that consumes the updated log (the
+        # next wave's dedup gate) sits after the join() at wave end.
         # right-size the delta's file count from the observed wave size
         # (4M rows ≈ a few hundred MB of url+hash per file): the delta
         # inherits `scheduled`'s 32-partition shuffle layout, which at
@@ -625,28 +626,35 @@ def run_crawl(
         # bloom+anti-join remains the correctness gate either way.
         discoveries = child.unionByName(pagination)
         _mark("next_frontier_plan")
-        # the seen log (and standing blobs) must be current before the
-        # prune below reads them
-        seen_thread.join()
-        if _seen_err:
-            raise _seen_err[0]
-        seen = catalog.read_log(spark, "seen")
-        if blobs is not None:
-            blobs = catalog.read(spark, "blobs")
+        # The prune does NOT wait for the seen/blob checkpoint thread: its
+        # seen side is exactly prev-log ∪ this-wave-delta, and both are
+        # already in hand as DataFrames (`seen` still binds the previous
+        # read_log; delta keys recompute from the persisted `scheduled`).
+        # Re-reading the log here forced a join() that charged the whole
+        # checkpoint wall (~1.2-1.5 s/wave at BOTH scaling levels, r5b
+        # stage decomposition) to this stage; the thread now runs
+        # underneath the entire frontier build + write below, and the log
+        # re-read (flat base+deltas scan, bounded lineage) plus the blob
+        # read-back happen after that write.
+        delta_keys = seen_delta.select("url_hash")
         if leftover_vs_full:
-            # one-off: imported-history frontier may overlap prior seen
+            # one-off: imported-history frontier may overlap prior seen.
+            # `seen` (prev log) includes the imported base; this wave's
+            # delta ⊆ the wave, which dedup_within/take_wave made
+            # url_hash-disjoint from leftover, so prev-log pruning is
+            # value-identical to new-log pruning.
             leftover_p = leftover.join(
                 seen.select("url_hash"), "url_hash", "left_anti"
             )
             leftover_vs_full = False
         else:
-            delta_keys = seen_delta.select("url_hash")
             leftover_p = leftover.join(
                 F.broadcast(delta_keys) if bounded_wave else delta_keys,
                 "url_hash", "left_anti",
             )
+        seen_keys = seen.select("url_hash").unionByName(delta_keys)
         disc_keys = discoveries.select("url_hash")
-        hits = seen.select("url_hash").join(
+        hits = seen_keys.join(
             F.broadcast(disc_keys) if bounded_wave else disc_keys,
             "url_hash", "left_semi",
         )
@@ -711,6 +719,15 @@ def run_crawl(
         lin_thread.join()
         if _lin_err:
             raise _lin_err[0]
+        # the seen log (and standing blobs) must be current before the NEXT
+        # wave's dedup gate / first-crossing blob build read them — awaited
+        # here, after the frontier write the thread overlapped
+        seen_thread.join()
+        if _seen_err:
+            raise _seen_err[0]
+        seen = catalog.read_log(spark, "seen")
+        if blobs is not None:
+            blobs = catalog.read(spark, "blobs")
         _mark("next_frontier")
 
         scheduled.unpersist()
