@@ -1,7 +1,8 @@
 """Link-graph PageRank as a frontier-priority / recrawl-priority signal.
 
 The reference crawls its catalogs in a fixed hand-ordered sequence
-(``ScrapeAll.py`` runs scrapers in list order); a web-scale frontier
+(``ScrapeAll.py:7-22`` launches one subprocess per site in list order,
+no notion of page importance); a web-scale frontier
 instead wants a *computed* priority — pages that the crawled web itself
 points at most should be refreshed first.  This module implements the
 classic PageRank power iteration (Page, Brin, Motwani, Winograd 1999,
