@@ -756,11 +756,36 @@ def resume_crawl(
 
     The catalog's atomic manifest publish means a crash mid-wave leaves the
     previous wave's snapshots authoritative; we restart from the latest
-    published frontier + seen, replaying nothing."""
+    COMPLETE wave, replaying nothing that was fully published.
+
+    A wave k is complete iff its extracted, seen and lineage deltas AND the
+    wave-(k+1) frontier snapshot all landed — each is a separate manifest
+    commit (some on overlapped threads), so a kill can land between them.
+    Any snapshot from a torn wave is an orphan: replaying that wave after
+    resume would re-publish the same rows and the append-log readers would
+    double-count them.  ``_resume_point`` walks the manifests (driver-side,
+    no Spark job) for the latest complete wave; everything at or after it
+    is pruned before the replay starts."""
+    start_wave = _resume_point(catalog)
+    for t in ("extracted", "seen", "lineage", "blobs"):
+        catalog.prune_waves(t, start_wave)
+    # frontier snapshots with meta wave > start_wave are torn-wave orphans
+    # too (the resume input is the one WITH meta wave == start_wave)
+    catalog.prune_waves("frontier", start_wave + 1)
     if not catalog.exists("frontier"):
+        # nothing published yet, or a crash during wave 0 before its first
+        # frontier landed (whose delta orphans the prune above removed):
+        # restart as a fresh run
         return run_crawl(spark, pages, seeds, robots, catalog, **kw)
     f_snap = catalog.latest("frontier")
-    start_wave = int(f_snap.meta.get("wave", 0))
+    if int(f_snap.meta.get("wave", 0)) != start_wave:
+        # degenerate catalog (e.g. stale pre-compaction frontier snapshots
+        # only): restart from whatever frontier actually survives and
+        # re-prune the delta logs to that point so the replay cannot
+        # double-publish
+        start_wave = int(f_snap.meta.get("wave", 0))
+        for t in ("extracted", "seen", "lineage", "blobs"):
+            catalog.prune_waves(t, start_wave)
     frontier = catalog.read(spark, "frontier")
     seen = (
         catalog.read_log(spark, "seen")
@@ -783,6 +808,55 @@ def resume_crawl(
         start_wave=start_wave, frontier=frontier, seen=seen, lineage=lineage,
         **kw,
     )
+
+
+def _resume_point(catalog: Catalog) -> int:
+    """Latest wave the crawl can deterministically restart FROM.
+
+    Walks down from the newest published frontier snapshot until every
+    earlier wave's delta set (extracted + seen + lineage) is complete.
+    Publishes happen in wave order, so the walk terminates within the
+    1-2 torn waves a single crash can leave; blobs are excluded from the
+    completeness test because they are only written once the seen set
+    crosses the bloom gate (stale blob bits are harmless either way — the
+    exact-seen backstop corrects bloom false positives)."""
+
+    def _delta_waves(name: str) -> set[int]:
+        return {
+            int(s.meta["wave"])
+            for s in catalog.snapshots(name)
+            if "wave" in s.meta and s.meta.get("kind") != "base"
+        }
+
+    frontier_waves = {
+        int(s.meta.get("wave", 0)) for s in catalog.snapshots("frontier")
+    }
+    complete = (
+        _delta_waves("extracted")
+        & _delta_waves("seen")
+        & _delta_waves("lineage")
+    )
+    # the crawl's first wave: 0, unless a seen base/compact marker (written
+    # with wave = first - 1 by imported-history and recrawl-invalidation
+    # runs) raises the floor — waves below it belong to a compacted past
+    first_wave = max(
+        (
+            int(s.meta["wave"]) + 1
+            for s in catalog.snapshots("seen")
+            if s.meta.get("kind") in ("base", "compact") and "wave" in s.meta
+        ),
+        default=0,
+    )
+    start = max(frontier_waves, default=0)
+    while start > first_wave and (start - 1) not in complete:
+        start -= 1
+    # the frontier snapshot feeding `start` must itself exist; if the walk
+    # landed on a wave whose input frontier never published (possible only
+    # when start == the run's first wave), the caller falls back to a
+    # fresh run after pruning
+    while start > first_wave and start not in frontier_waves:
+        start -= 1
+    return start
 
 
 def _site_col(host):

@@ -173,6 +173,42 @@ class Catalog:
     def drop(self, name: str) -> None:
         shutil.rmtree(self._tdir(name), ignore_errors=True)
 
+    def unpublish(self, name: str, version: int) -> None:
+        """Atomically retract one published snapshot.
+
+        Removing the manifest is the publish in reverse — readers resolve
+        snapshots through manifests only (``snapshots()``), so the removal
+        is atomic from their view; the data directory is deleted
+        best-effort afterwards.  The local stand-in for an Iceberg
+        snapshot-expire/rollback commit."""
+        m = os.path.join(self._snapdir(name), f"v{version}.json")
+        if os.path.exists(m):
+            os.remove(m)
+        shutil.rmtree(
+            os.path.join(self._tdir(name), f"v{version}"), ignore_errors=True
+        )
+
+    def prune_waves(self, name: str, min_wave: int) -> list[int]:
+        """Unpublish every snapshot whose manifest carries ``meta.wave >=
+        min_wave`` — resume's orphan cleanup.
+
+        A crawl wave publishes its delta snapshots (extracted, seen,
+        lineage, blobs) and its next-frontier snapshot as separate commits;
+        a crash between them leaves orphans from the torn wave.  Replaying
+        that wave after resume would re-publish the same rows, so the
+        append-log readers (``read_union``/``read_log``) would double-count
+        them.  Pruning by wave id restores the invariant "the log holds
+        exactly the waves before the resume point".  Snapshots without a
+        wave in their meta (ad-hoc writes) are never touched; base/compact
+        markers carry ``start_wave - 1`` and survive by construction."""
+        removed = []
+        for s in self.snapshots(name):
+            w = s.meta.get("wave")
+            if w is not None and int(w) >= min_wave:
+                self.unpublish(name, s.version)
+                removed.append(s.version)
+        return removed
+
     def merge(
         self,
         df: DataFrame,

@@ -108,3 +108,103 @@ def test_catalog_merge_upsert_both_precedences(spark, tmp_path):
     cat2.merge(new, "t", key="id", new_wins=False)
     got2 = {r.id: r.val for r in cat2.read(spark, "t").collect()}
     assert got2 == {1: "old-a", 2: "old-b", 3: "new-c"}
+
+
+def _state(res):
+    seen = sorted((r["wave"], r["url"]) for r in res.seen.collect())
+    ex = sorted(
+        (r["url"], r["wave"], r["text"])
+        for r in res.extracted.select("url", "wave", "text").collect()
+    )
+    return seen, ex
+
+
+def test_resume_after_midwave_crash_torn_frontier(spark, fixture, tmp_path):
+    """Kill BETWEEN a wave's delta publishes and its frontier publish.
+
+    The wave's extracted/seen/lineage snapshots are orphans of a torn
+    wave: resume must prune them and replay the wave, or the append-log
+    readers double-count every row the crashed attempt already published
+    (latent until round 5 — the older resume test only kills at wave
+    boundaries)."""
+    pages = fixture.pages_df(spark)
+    seeds = fixture.seeds_df(spark)
+    robots = fixture.robots_df(spark)
+
+    full_cat = Catalog(str(tmp_path / "full"))
+    full = run_crawl(spark, pages, seeds, robots, full_cat)
+
+    cat = Catalog(str(tmp_path / "torn"))
+    run_crawl(spark, pages, seeds, robots, cat, max_waves=3)
+    f = cat.latest("frontier")
+    assert int(f.meta["wave"]) == 3
+    cat.unpublish("frontier", f.version)  # wave 2's frontier never landed
+    # the torn wave's lineage write rides its own thread — simulate the
+    # crash landing before it, too
+    lin = [
+        s for s in cat.snapshots("lineage") if int(s.meta.get("wave", -1)) == 2
+    ]
+    cat.unpublish("lineage", lin[0].version)
+
+    resumed = resume_crawl(spark, pages, seeds, robots, cat)
+    assert _state(resumed) == _state(full)
+    # exactly one published wave-2 extracted delta after the replay
+    w2 = [
+        s for s in cat.snapshots("extracted")
+        if int(s.meta.get("wave", -1)) == 2
+    ]
+    assert len(w2) == 1
+
+
+def test_resume_after_midwave_crash_torn_seen(spark, fixture, tmp_path):
+    """Kill with the NEXT frontier published but the wave's seen delta
+    missing (the seen checkpoint rides an overlapped thread, so this
+    ordering is reachable): resume must walk BACK past the published
+    frontier to the last complete wave, prune, and replay."""
+    pages = fixture.pages_df(spark)
+    seeds = fixture.seeds_df(spark)
+    robots = fixture.robots_df(spark)
+
+    full_cat = Catalog(str(tmp_path / "full"))
+    full = run_crawl(spark, pages, seeds, robots, full_cat)
+
+    cat = Catalog(str(tmp_path / "torn"))
+    run_crawl(spark, pages, seeds, robots, cat, max_waves=3)
+    sd = [
+        s for s in cat.snapshots("seen") if int(s.meta.get("wave", -1)) == 2
+    ]
+    cat.unpublish("seen", sd[0].version)
+
+    resumed = resume_crawl(spark, pages, seeds, robots, cat)
+    assert _state(resumed) == _state(full)
+    assert (
+        len([
+            s for s in cat.snapshots("seen")
+            if int(s.meta.get("wave", -1)) == 2
+        ])
+        == 1
+    )
+    # the orphan wave-3 frontier was pruned and rewritten by the replay
+    waves = sorted(
+        int(s.meta.get("wave", 0)) for s in cat.snapshots("frontier")
+    )
+    assert waves == sorted(set(waves))
+
+
+def test_resume_fresh_run_torn_wave0(spark, fixture, tmp_path):
+    """Crash during wave 0 with some deltas published but no complete
+    wave: resume must prune everything and restart as a fresh run."""
+    pages = fixture.pages_df(spark)
+    seeds = fixture.seeds_df(spark)
+    robots = fixture.robots_df(spark)
+
+    full_cat = Catalog(str(tmp_path / "full"))
+    full = run_crawl(spark, pages, seeds, robots, full_cat)
+
+    cat = Catalog(str(tmp_path / "torn0"))
+    run_crawl(spark, pages, seeds, robots, cat, max_waves=1)
+    f = cat.latest("frontier")
+    cat.unpublish("frontier", f.version)  # wave 0's frontier never landed
+
+    resumed = resume_crawl(spark, pages, seeds, robots, cat)
+    assert _state(resumed) == _state(full)
