@@ -62,6 +62,7 @@ from pyspark.sql import functions as F
 
 from ..functions.extract import EXTRACT_SCHEMA, extract_page
 from ..operators.frontier import (
+    ORDER_COLS,
     dedup_within,
     expand_pagination_df,
     seeds_to_frontier,
@@ -186,6 +187,7 @@ def run_crawl(
     lineage: list[dict] | None = None,
     cache_pages: bool = True,
     max_pagination: int = 100_000,
+    overlap_frontier: bool = True,
 ) -> CrawlResult:
     pages_k = _prep_pages(pages)
     # The pages side is scanned once per wave.  Caching pays when the
@@ -346,6 +348,39 @@ def run_crawl(
         "url", "role", "html", "site", "category", "depth", "priority",
         "url_template",
     )
+    # upper-bound bookkeeping for the pipelined frontier (see the tail):
+    # mirrors expand_pagination_df's probe filter
+    _extent_pred = (
+        F.col("last_page").isNotNull()
+        & (F.col("last_page") >= 1)
+        & F.col("url_template").isNotNull()
+    )
+    _links_size = F.when(F.col("links").isNull(), F.lit(0)).otherwise(
+        F.size(F.col("links"))
+    )
+
+    # ---- pipelined-frontier state (overlap_frontier=True) ---------------
+    # The wave-k frontier writer runs on a thread UNDER wave k+1's fetch
+    # stage; `_f_prev` tracks (thread, error holder, wall holder, pins to
+    # unpersist once it lands).  `frontier_ub` carries a row-count UPPER
+    # BOUND for the frontier the writer is still materializing — what the
+    # broadcast-safety decision (bounded_wave) uses in place of the
+    # manifest count the serial tail would have.
+    _f_prev: dict | None = None
+    _prev_nxt: DataFrame | None = None
+    frontier_ub: int | None = None
+
+    def _join_prev_frontier():
+        nonlocal _f_prev
+        if _f_prev is None:
+            return
+        _f_prev["thread"].join()
+        if _f_prev["err"]:
+            raise _f_prev["err"][0]
+        t_ms["frontier_write_bg"] = _f_prev["ms"][0] if _f_prev["ms"] else 0
+        for h in _f_prev["pins"]:
+            h.unpersist()
+        _f_prev = None
 
     while wave_no < max_waves:
         t_ms: dict = {}
@@ -364,8 +399,23 @@ def run_crawl(
         # next-steps #9 — dedup_within cannot turn nonempty into empty)
         if frontier_rows == 0:
             break
+        if frontier_ub == 0:
+            # pipelined tail: the upper bound is exact at zero (leftover,
+            # link and pagination masses all zero), so the frontier the
+            # background writer is publishing is provably empty
+            break
         frontier = dedup_within(frontier)
-        if frontier_rows is None and frontier.isEmpty():
+        if (
+            frontier_rows is None
+            and frontier_ub is None
+            and frontier.isEmpty()
+        ):
+            # initial/resumed frontier of unknown size only: under the
+            # pipelined tail an isEmpty here would force the in-flight
+            # frontier's broadcasts to build a second time (broadcast
+            # exchanges are not shared across jobs); a nonzero-ub-but-
+            # empty frontier instead drains through one degenerate empty
+            # wave that the tail detects (n_wave == 0) and stops after
             break
         _mark("frontier_check")
 
@@ -401,8 +451,14 @@ def run_crawl(
         # still broadcasts small runtime sizes, and falls back instead of
         # OOMing).
         bounded_wave = (
-            wave_budget is not None and wave_budget <= 50_000_000
-        ) or (frontier_rows is not None and frontier_rows <= 5_000_000)
+            (wave_budget is not None and wave_budget <= 50_000_000)
+            or (frontier_rows is not None and frontier_rows <= 5_000_000)
+            # pipelined tail: the manifest count is still in flight, but
+            # the observation-derived UPPER bound (leftover + raw link
+            # mentions + deduped pagination extents) is >= the true size,
+            # so a small bound is just as safe to broadcast on
+            or (frontier_ub is not None and frontier_ub <= 5_000_000)
+        )
         if (
             seen_count == 0 and wave_no == 0 and seen_prior is None
             and not caller_seen
@@ -487,6 +543,12 @@ def run_crawl(
             F.sum(
                 F.when(F.col("text").isNotNull(), 1).otherwise(0)
             ).alias("n"),
+            # raw discovery masses for the pipelined tail's frontier-size
+            # upper bound — they ride the same write action for free
+            F.sum(_links_size).alias("n_links"),
+            F.sum(
+                F.when(_extent_pred, 1).otherwise(0)
+            ).alias("n_extents"),
         )
         snap = catalog.write(
             extracted, "extracted", meta={"wave": wave_no, "kind": "delta"}
@@ -636,7 +698,50 @@ def run_crawl(
         # underneath the entire frontier build + write below, and the log
         # re-read (flat base+deltas scan, bounded lineage) plus the blob
         # read-back happen after that write.
-        delta_keys = seen_delta.select("url_hash")
+        if overlap_frontier:
+            # Pipelined tail: wave k's frontier writer is about to be
+            # STARTED on a thread and joined only here, one wave later —
+            # it runs under the whole of wave k+1's fetch stage.  For that
+            # to stay safe and bounded, the frontier plan must be anchored
+            # on THIS wave's durable artifacts, never on a previous wave's
+            # in-memory plan:
+            #  - the last writer is joined now (it had the entire fetch
+            #    stage to finish, so this is a no-op in steady state);
+            #  - delta keys recompute from the written wave parquet
+            #    (extraction passes the canonical url through 1:1, so
+            #    xxhash64(url) == the frontier's url_hash; in the
+            #    astronomically-rare hash-collision case a key can be
+            #    missing here, and the next wave's exact dedup gate — not
+            #    this prune, which is an optimization — drops the row);
+            #  - the unbudgeted leftover is an empty LITERAL (take_wave's
+            #    frontier.limit(0) would chain the previous wave's plan
+            #    into this one, growing the logical tree every wave);
+            #  - the budgeted leftover rebinds onto the read-back of the
+            #    files the last writer just published (value-identical:
+            #    same rows, same dedup, same anti-join keys).
+            _join_prev_frontier()
+            delta_keys = wave_ex.select(
+                F.xxhash64("url").alias("url_hash")
+            )
+            if not leftover_vs_full:
+                if wave_budget is None:
+                    leftover = spark.createDataFrame([], frontier.schema)
+                elif catalog.exists("frontier"):
+                    # the taken-wave keys are RECOMPUTED from the read-back
+                    # (deterministic: after dedup the (priority, depth,
+                    # url_hash) order is strict, so the top-K set is the
+                    # one take_wave took) — referencing `wave` here would
+                    # chain the previous wave's plan into this one and the
+                    # logical tree would grow ~100 KB per wave (measured)
+                    _d = dedup_within(catalog.read(spark, "frontier"))
+                    _taken = (
+                        _d.orderBy(*[F.col(c).asc() for c in ORDER_COLS])
+                        .limit(wave_budget)
+                        .select("url_hash")
+                    )
+                    leftover = _d.join(_taken, "url_hash", "left_anti")
+        else:
+            delta_keys = seen_delta.select("url_hash")
         if leftover_vs_full:
             # one-off: imported-history frontier may overlap prior seen.
             # `seen` (prev log) includes the imported base; this wave's
@@ -713,26 +818,146 @@ def run_crawl(
 
         lin_thread = threading.Thread(target=_write_lineage, daemon=True)
         lin_thread.start()
-        f_snap = catalog.write(nxt, "frontier", meta={"wave": wave_no + 1})
-        frontier_rows = f_snap.rows
-        frontier = catalog.read(spark, "frontier")
-        lin_thread.join()
-        if _lin_err:
-            raise _lin_err[0]
-        # the seen log (and standing blobs) must be current before the NEXT
-        # wave's dedup gate / first-crossing blob build read them — awaited
-        # here, after the frontier write the thread overlapped
-        seen_thread.join()
-        if _seen_err:
-            raise _seen_err[0]
-        seen = catalog.read_log(spark, "seen")
-        if blobs is not None:
-            blobs = catalog.read(spark, "blobs")
-        _mark("next_frontier")
+        if overlap_frontier:
+            # ---- pipelined frontier write --------------------------------
+            # The write (and with it the whole frontier COMPUTE: link
+            # explode, pagination expansion, prune joins, parquet encode)
+            # runs on a thread that the loop only joins one wave later —
+            # i.e. underneath the next wave's fetch/extract/write, the
+            # dominant stage.  The next wave plans against the persisted
+            # `nxt` directly; its first action races the writer for the
+            # cached partitions, and whichever computes a block first
+            # feeds the other.  Torn interleavings of the concurrent
+            # catalog publishes are exactly what resume's orphan pruning
+            # (_resume_point) makes safe.
+            nxt = nxt.persist()
+            _f_err: list = []
+            _f_ms: list = []
+            _f_snap_holder: list = []
+            _w_no = wave_no
 
-        scheduled.unpersist()
-        wave.unpersist()
+            def _write_frontier():
+                try:
+                    _t = time.monotonic()
+                    _f_snap_holder.append(
+                        catalog.write(nxt, "frontier", meta={"wave": _w_no + 1})
+                    )
+                    _f_ms.append(round((time.monotonic() - _t) * 1000))
+                except BaseException as ex:
+                    _f_err.append(ex)
+
+            f_thread = threading.Thread(target=_write_frontier, daemon=True)
+            f_thread.start()
+
+            # frontier-size UPPER bound for the next wave's broadcast-
+            # safety decision (the manifest count is still in flight):
+            # leftover bound + raw link mentions + deduped pagination mass.
+            n_links = _obs_n(
+                obs_hit, wave_ex.select(F.explode("links")), "n_links"
+            )
+            n_extents = _obs_n(
+                obs_hit, wave_ex.filter(_extent_pred), "n_extents"
+            )
+            pag_ub = 0
+            if n_extents > 0:
+                # deduped extent mass, mirroring expand_pagination_df's
+                # per-(site, category, template, depth, priority) collapse
+                # (+1 covers the HDW over-scan quirk).  A tiny agg over the
+                # written wave parquet — listing-discovery waves only.
+                pag_ub = int(
+                    wave_ex.filter(_extent_pred)
+                    .groupBy(
+                        "site", "category", "url_template", "depth",
+                        "priority",
+                    )
+                    .agg(F.max("last_page").alias("lp"))
+                    .agg(
+                        F.sum(
+                            F.least(
+                                F.col("lp") + F.lit(1),
+                                F.lit(max_pagination),
+                            )
+                        ).alias("s")
+                    )
+                    .first()["s"]
+                    or 0
+                )
+            if wave_budget is None:
+                leftover_term = 0
+            else:
+                base = frontier_ub if frontier_ub is not None else frontier_rows
+                leftover_term = (
+                    None if base is None else max(0, base - n_wave)
+                )
+            frontier_ub = (
+                None
+                if leftover_term is None
+                else leftover_term + n_links + pag_ub
+            )
+            frontier = nxt
+            frontier_rows = None
+            lin_thread.join()
+            if _lin_err:
+                raise _lin_err[0]
+            seen_thread.join()
+            if _seen_err:
+                raise _seen_err[0]
+            seen = catalog.read_log(spark, "seen")
+            if blobs is not None:
+                blobs = catalog.read(spark, "blobs")
+            if n_wave == 0:
+                # degenerate trailing wave (nonzero upper bound over an
+                # exhausted frontier): its published deltas are empty; the
+                # writer's manifest proves the next frontier empty too, so
+                # the top of the loop stops without another wave
+                _f_prev = {
+                    "thread": f_thread, "err": _f_err, "ms": _f_ms,
+                    "pins": [],
+                }
+                _join_prev_frontier()
+                frontier_rows = (
+                    _f_snap_holder[0].rows if _f_snap_holder else 0
+                )
+            else:
+                _f_prev = {
+                    "thread": f_thread, "err": _f_err, "ms": _f_ms,
+                    "pins": [],
+                }
+            _mark("next_frontier")
+            if _prev_nxt is not None:
+                _prev_nxt.unpersist()
+            _prev_nxt = nxt
+            scheduled.unpersist()
+            wave.unpersist()
+        else:
+            f_snap = catalog.write(nxt, "frontier", meta={"wave": wave_no + 1})
+            frontier_rows = f_snap.rows
+            frontier = catalog.read(spark, "frontier")
+            lin_thread.join()
+            if _lin_err:
+                raise _lin_err[0]
+            # the seen log (and standing blobs) must be current before the
+            # NEXT wave's dedup gate / first-crossing blob build read them —
+            # awaited here, after the frontier write the thread overlapped
+            seen_thread.join()
+            if _seen_err:
+                raise _seen_err[0]
+            seen = catalog.read_log(spark, "seen")
+            if blobs is not None:
+                blobs = catalog.read(spark, "blobs")
+            _mark("next_frontier")
+
+            scheduled.unpersist()
+            wave.unpersist()
         wave_no += 1
+
+    # land the last wave's in-flight frontier writer (pipelined tail) —
+    # the catalog must be complete, and its errors must surface, before
+    # the result is handed back
+    t_ms = {}
+    _join_prev_frontier()
+    if _prev_nxt is not None:
+        _prev_nxt.unpersist()
 
     extracted_all = (
         catalog.read_union(spark, "extracted")

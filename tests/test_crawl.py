@@ -324,3 +324,74 @@ class TestSitemapParse:
             ("b.test", "sitemap", "https://b.test/sm2.xml", None, None),
             # c.test: entry without <loc> dropped entirely
         ]
+
+
+class TestPipelinedFrontier:
+    """run_crawl(overlap_frontier=True) — the default — writes wave k's
+    frontier on a thread UNDER wave k+1's fetch stage.  The pipelined and
+    serial tails must be row-identical in every mode; these pin the
+    escape hatch (overlap_frontier=False) against the default."""
+
+    def test_serial_equals_pipelined(
+        self, spark, fixture, tmp_path_factory, crawl_result
+    ):
+        # crawl_result ran with the default (pipelined) tail
+        res = _crawl(
+            spark, fixture, tmp_path_factory.mktemp("crawls"), "cs",
+            overlap_frontier=False,
+        )
+        a = sorted(
+            (r["wave"], r["rank"], r["url"])
+            for r in crawl_result.seen.collect()
+        )
+        b = sorted(
+            (r["wave"], r["rank"], r["url"]) for r in res.seen.collect()
+        )
+        assert a == b
+        ea = sorted(
+            (r["url"], r["wave"], r["text"])
+            for r in crawl_result.extracted.select(
+                "url", "wave", "text"
+            ).collect()
+        )
+        eb = sorted(
+            (r["url"], r["wave"], r["text"])
+            for r in res.extracted.select("url", "wave", "text").collect()
+        )
+        assert ea == eb
+        assert crawl_result.waves == res.waves
+
+    def test_plan_size_bounded_across_waves(
+        self, spark, fixture, tmp_path_factory
+    ):
+        """The pipelined tail must anchor every wave's frontier plan on
+        that wave's durable artifacts: chaining the previous wave's
+        in-memory plan grows the logical tree ~100 KB per wave (measured
+        on the budgeted fixture crawl before the rebind) until plan
+        stringification OOMs the driver on long crawls."""
+        from pyspark.sql.classic.dataframe import DataFrame
+
+        sizes = []
+        orig = DataFrame.persist
+
+        def patched(self, *a, **k):
+            sizes.append(
+                len(self._jdf.queryExecution().logical().treeString())
+            )
+            return orig(self, *a, **k)
+
+        DataFrame.persist = patched
+        try:
+            res = _crawl(
+                spark, fixture, tmp_path_factory.mktemp("crawlpb"), "cpb",
+                wave_budget=40, max_waves=60,
+            )
+        finally:
+            DataFrame.persist = orig
+        assert res.waves >= 8  # the budget actually forced many waves
+        # per-wave plans must not trend upward: the last waves' plans stay
+        # within 2x of the early waves' largest
+        early, late = max(sizes[: len(sizes) // 2]), max(
+            sizes[len(sizes) // 2:]
+        )
+        assert late <= 2 * early, (early, late)
