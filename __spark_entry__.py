@@ -1321,6 +1321,25 @@ def q_minhash_dedup(spark, sf_dir):
     return minhash_dedup(d).select("doc_id", "lang")
 
 
+def q_substring_dedup(spark, sf_dir):
+    """ExactSubstr corpus dedup (Lee et al. 2022, training-data op): any
+    32-token run occurring twice anywhere in the corpus survives only at
+    its minimum (doc_id, pos) occurrence; removal spans union per doc
+    before the rebuild.  Output is md5-pinned byte-exact (same convention
+    as pii_scrub, keeps the oracle VALUES small).  Independence: the
+    engine keys windows by xxhash64 of the joined run, the analytic
+    mirror by the exact window string — a keying/collision bug diverges
+    instead of being mirrored."""
+    from no_fasel_scrapers_spark.operators.dedup import substring_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return substring_dedup(d, width=32).select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        "n_removed",
+    )
+
+
 def q_near_dup_groups(spark, sf_dir):
     """Transitive near-dup group resolution: verified MinHash pairs →
     alternating large-star/small-star connected components (Kiveris et
@@ -2263,7 +2282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anime_delta": q_anime_delta,
         "nested_assembly": q_nested_assembly,
         "integrity_manifest": q_integrity_manifest,
-        "event_type_decode": q_event_type_decode,
+        "substring_dedup": q_substring_dedup,
         "url_category": q_url_category,
         "title_cleanups": q_title_cleanups,
         "normalized_title_join": q_normalized_title_join,
@@ -2332,6 +2351,10 @@ def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # registry-checked via seen_filter_dedup's exact backstop and
         # decontaminate's anti-join
         "customers_without_orders": q_customers_without_orders,
+        # retired round 5 for substring_dedup: the broadcast dict-decode
+        # equi-join shape (O9) stays registry-checked via trending_id_join
+        # and normalized_title_join
+        "event_type_decode": q_event_type_decode,
     }
 
 
@@ -2391,6 +2414,7 @@ def _analytic_oracles() -> dict[str, str]:
         "recrawl_delta": ao.recrawl_delta_sql,
         "charset_decode": ao.charset_decode_sql,
         "link_pagerank": ao.link_pagerank_sql,
+        "substring_dedup": ao.substring_dedup_sql,
     }
     for name, build in builders.items():
         try:
@@ -2746,17 +2770,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM orders GROUP BY o_orderpriority
         """,
-        "event_type_decode": """
-            SELECT event_type,
-                   CASE event_type WHEN 'view' THEN 'View' WHEN 'click' THEN 'Click'
-                        WHEN 'purchase' THEN 'Purchase' WHEN 'signup' THEN 'Signup'
-                        WHEN 'error' THEN 'Error' END AS label,
-                   CAST(COUNT(*) AS BIGINT) AS n,
-                   CAST(SUM(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
-                        WHEN 'purchase' THEN 5 WHEN 'signup' THEN 3
-                        WHEN 'error' THEN 0 END) AS BIGINT) AS weight_total
-            FROM events GROUP BY event_type
-        """,
         "url_category": """
             SELECT doc_id,
                    'https://w.test/' || CASE CAST(doc_id % 4 AS INTEGER)
@@ -3087,6 +3100,18 @@ def retired_oracle_sql() -> dict[str, str]:
             SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 2 = 0
             INTERSECT
             SELECT l_orderkey FROM lineitem
+        """,
+        # retired round 5 for substring_dedup
+        "event_type_decode": """
+            SELECT event_type,
+                   CASE event_type WHEN 'view' THEN 'View' WHEN 'click' THEN 'Click'
+                        WHEN 'purchase' THEN 'Purchase' WHEN 'signup' THEN 'Signup'
+                        WHEN 'error' THEN 'Error' END AS label,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                        WHEN 'purchase' THEN 5 WHEN 'signup' THEN 3
+                        WHEN 'error' THEN 0 END) AS BIGINT) AS weight_total
+            FROM events GROUP BY event_type
         """,
         # retired round 5 for charset_decode
         "sessionize_events": """

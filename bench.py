@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "repetition_stats",
     "line_dedup",
     "minhash_dedup",
+    "substring_dedup",
     "simhash_pairs",
     "ann_bruteforce",
     "events_hourly",
@@ -759,6 +760,7 @@ def main() -> None:
         from no_fasel_scrapers_spark.operators.dedup import (
             exact_dedup,
             minhash_dedup,
+            substring_dedup,
         )
         from no_fasel_scrapers_spark.operators.quality import (
             line_dedup,
@@ -808,6 +810,7 @@ def main() -> None:
         ops = {
             "exact_dedup": lambda: exact_dedup(docs),
             "minhash_dedup": lambda: minhash_dedup(docs),
+            "substring_dedup": lambda: substring_dedup(docs),
             "decontaminate": lambda: decontaminate(docs, test),
             "text_stats": lambda: with_text_stats(docs),
             "repetition_stats": lambda: with_repetition_stats(docs),

@@ -471,3 +471,158 @@ def embedding_near_dup_pairs(
     return pairs.filter(F.col("cosine") >= threshold).select(
         "id_a", "id_b", "cosine"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring dedup (ExactSubstr)
+# ---------------------------------------------------------------------------
+
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 32,
+) -> DataFrame:
+    """Corpus-level exact substring dedup (the ExactSubstr policy of Lee
+    et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"), re-expressed as linear shuffles instead of a corpus-global
+    suffix array.
+
+    Any run of ``width`` whitespace tokens that occurs more than once in
+    the corpus survives only at its canonical occurrence — the minimum
+    ``(doc_id, position)`` — and every other occurrence's token span is
+    removed from its document.  Overlapping duplicated windows merge by
+    position-set union, so a duplicated passage of L ≥ ``width`` tokens
+    (which contributes L−width+1 duplicated windows) is removed as one
+    contiguous span, matching the suffix-array formulation's behavior on
+    long shared passages.
+
+    Returns one row per input document: ``(id_col, clean_text,
+    n_removed)``.  Semantics, pinned:
+
+    * documents shorter than ``width`` tokens emit no windows and pass
+      through byte-identical, as do NULL texts (``clean_text`` NULL,
+      ``n_removed`` 0 — a curation pass must never silently drop rows);
+    * untouched documents keep their ORIGINAL text byte-identical;
+      whitespace is normalized only in documents that actually lose a
+      span (``clean_text`` is the kept tokens joined with single spaces,
+      the same rebuild convention as :func:`~..quality.line_dedup`);
+    * within-doc repetition counts: the second occurrence of a window
+      inside one document is removed too (self-repetition is training
+      noise as much as cross-document duplication is).
+
+    Scale shape (100 TB): the window key is ``xxhash64`` of the joined
+    token run — tokens contain no whitespace, so the single-space join
+    is injective — computed per position inside whole-stage codegen; the
+    posexplode emits |corpus tokens| narrow (hash, doc_id, pos) rows,
+    never the window strings themselves.  Duplicate detection is ONE
+    partial-aggregating groupBy on the hash: ``count`` and
+    ``min(struct(doc_id, pos))`` both map-side combine, so a boilerplate
+    window shared by millions of documents arrives at its reducer
+    pre-combined — no skew hotspot (a window-function formulation would
+    instead sort the hot key's whole partition).  The join back touches
+    only duplicated hashes (a small fraction of windows); the span
+    rollup groups by doc_id with per-doc state bounded by the document's
+    own window count; and the final rebuild join's spans side holds only
+    touched documents, so AQE broadcasts it at typical dup rates and the
+    corpus itself never shuffles.  Nothing is all-pairs; nothing
+    collects to the driver.
+
+    One deliberate recompute: the occurrence stream is generated twice
+    (once under the dup-key aggregate, once as the probe side of the
+    dup join) rather than materialized — |corpus tokens| rows of
+    (hash, id, pos) are ~16 bytes/token, comparable to the corpus
+    itself, and the window-hash computation is cheap codegen over
+    already-tokenized arrays.  At 100 TB a caller who has the shuffle
+    budget can persist the exploded occurrences to cut the second scan;
+    the plan keeps the skew-safe aggregate either way.
+    """
+    from .textstats import ws_tokens
+
+    base = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("_sd_toks", ws_tokens(F.col(text_col)))
+    )
+    n = F.size("_sd_toks")
+
+    # (doc_id, pos, h): one row per window position, hash-only payload.
+    # The n >= width guard matters: sequence(1, negative) would generate a
+    # DESCENDING sequence, not an empty one.
+    win_hashes = F.when(
+        n >= width,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(width - 1)),
+            lambda i: F.xxhash64(
+                F.array_join(F.slice(F.col("_sd_toks"), i, width), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    occ = base.select(
+        F.col(id_col),
+        F.posexplode(win_hashes).alias("_sd_p0", "_sd_h"),
+    ).select(
+        F.col(id_col),
+        (F.col("_sd_p0") + 1).alias("_sd_pos"),
+        "_sd_h",
+    )
+
+    # Duplicated window hashes with their canonical occurrence.  Struct
+    # comparison is lexicographic by field order, so min(struct(d, p)) is
+    # exactly min over (doc_id, pos) pairs; both aggregates are
+    # combinable -> map-side partial aggregation absorbs hot keys.
+    dup_keys = (
+        occ.groupBy("_sd_h")
+        .agg(
+            F.count("*").alias("_sd_cnt"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("d"), F.col("_sd_pos").alias("p")
+                )
+            ).alias("_sd_canon"),
+        )
+        .filter(F.col("_sd_cnt") > 1)
+        .select("_sd_h", "_sd_canon")
+    )
+
+    # Non-canonical occurrences -> per-doc span starts (collect_set is
+    # bounded by the doc's own window count).
+    spans = (
+        occ.join(dup_keys, "_sd_h")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col("_sd_canon.d"))
+                & (F.col("_sd_pos") == F.col("_sd_canon.p"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("_sd_pos").alias("_sd_spans"))
+    )
+
+    joined = base.join(spans, id_col, "left")
+    rm = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.col("_sd_spans"),
+                lambda p: F.sequence(p, p + F.lit(width - 1)),
+            )
+        )
+    )
+    all_idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    kept_idx = F.array_except(all_idx, rm)  # ascending order preserved
+    rebuilt = F.array_join(
+        F.transform(kept_idx, lambda i: F.element_at(F.col("_sd_toks"), i)),
+        " ",
+    )
+    untouched = F.col("_sd_spans").isNull()
+    return joined.select(
+        F.col(id_col),
+        F.when(untouched, F.col(text_col)).otherwise(rebuilt).alias(
+            "clean_text"
+        ),
+        F.when(untouched, F.lit(0))
+        .otherwise(n - F.size(kept_idx))
+        .cast("int")
+        .alias("n_removed"),
+    )

@@ -1158,3 +1158,63 @@ def charset_decode_sql(sf: str | None = None) -> str:
          ("n_docs", "BIGINT"), ("n_ok", "BIGINT"),
          ("sum_chars", "BIGINT")],
     )
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup (round 5): ExactSubstr over the documents table.  The
+# mirror groups occurrences by the EXACT window string where the engine
+# groups by xxhash64 of it — an intentional independence: a hash-collision
+# or seed bug in the engine's keying diverges here instead of being
+# mirrored.  Tokenization mirrors ws_tokens (Java \s class, drop-empties);
+# canonical occurrence and span-union semantics are pinned in the
+# operator's docstring.
+# ---------------------------------------------------------------------------
+
+def substring_dedup_rows(sf: str, width: int = 32):
+    import hashlib
+
+    occs: dict[str, list[tuple[int, int]]] = {}
+    toks_by_doc: dict[int, tuple[str | None, list[str]]] = {}
+    for doc_id, text, _lang in _docs(sf):
+        toks = (
+            [t for t in _split_ws(text) if t != ""]
+            if text is not None
+            else []
+        )
+        toks_by_doc[int(doc_id)] = (text, toks)
+        for i in range(1, len(toks) - width + 2):
+            key = " ".join(toks[i - 1:i - 1 + width])
+            occs.setdefault(key, []).append((int(doc_id), i))
+    removed: dict[int, set[int]] = {}
+    for lst in occs.values():
+        if len(lst) < 2:
+            continue
+        canon = min(lst)
+        for d, p in lst:
+            if (d, p) == canon:
+                continue
+            removed.setdefault(d, set()).update(range(p, p + width))
+    out = []
+    for doc_id, (text, toks) in toks_by_doc.items():
+        rm = removed.get(doc_id)
+        if rm:
+            kept = [t for j, t in enumerate(toks, start=1) if j not in rm]
+            clean, n_removed = " ".join(kept), len(toks) - len(kept)
+        else:
+            clean, n_removed = text, 0
+        md5 = (
+            hashlib.md5(clean.encode("utf-8")).hexdigest()
+            if clean is not None
+            else None
+        )
+        out.append((doc_id, md5, n_removed))
+    return sorted(out)
+
+
+def substring_dedup_sql(sf: str | None = None) -> str:
+    rows = substring_dedup_rows(sf or sf_dir())
+    return values_sql(
+        rows,
+        [("doc_id", "BIGINT"), ("clean_md5", "VARCHAR"),
+         ("n_removed", "INTEGER")],
+    )

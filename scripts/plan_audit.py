@@ -146,6 +146,19 @@ EXPECTATIONS = {
         ("ReadSchema: struct<doc_id:bigint,text:string>", True,
          "documents scan pruned to the 2 needed columns"),
     ],
+    "substring_dedup": [
+        ("CartesianProduct", False, "no accidental cartesian product"),
+        ("partial_min", True,
+         "canonical-occurrence agg is map-side combined — a boilerplate "
+         "window shared by millions of docs arrives pre-combined, never "
+         "a raw occurrence shuffle to one reducer"),
+        ("partial_collect_set", True,
+         "per-doc span rollup partial-aggregates too"),
+        ("BatchEvalPython", False, "zero Python anywhere"),
+        ("MapInPandas", False, "window hashing is pure codegen"),
+        ("ReadSchema: struct<doc_id:bigint,text:string>", True,
+         "documents scan pruned to the 2 needed columns"),
+    ],
     "audio_features": [
         ("Exchange", False,
          "payload synth + WAV decode + feature project: zero shuffle"),

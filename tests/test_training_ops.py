@@ -522,3 +522,97 @@ def test_asof_join_null_value_is_row_atomic(spark):
     )
     r = asof_join(left, right, on="k", ts="ts").collect()[0]
     assert r["__asof_ts"] == 2 and r["v"] is None
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup (ExactSubstr, round 5)
+# ---------------------------------------------------------------------------
+
+# Distinct token alphabets per document so no window matches by accident.
+_SD_A = " ".join(f"a{i}" for i in range(1, 21))          # a1..a20
+_SD_B = "x1 x2 x3 " + " ".join(
+    f"a{i}" for i in range(5, 17)
+) + " y1 y2"                                             # shares a5..a16 (12 toks)
+_SD_C = "c1\tc2  c3\nc4 c5"                              # < width, odd whitespace
+_SD_E = " ".join(f"r{i}" for i in range(1, 9)) + " z1 " + " ".join(
+    f"r{i}" for i in range(1, 9)
+)                                                        # within-doc repeat
+
+
+@pytest.fixture(scope="module")
+def sd_result(spark):
+    from no_fasel_scrapers_spark.operators.dedup import substring_dedup
+
+    df = spark.createDataFrame(
+        [(1, _SD_A), (2, _SD_B), (3, _SD_C), (4, None), (5, _SD_E)],
+        "doc_id long, text string",
+    )
+    return {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in substring_dedup(df, width=8).collect()
+    }
+
+
+class TestSubstringDedup:
+    def test_all_rows_survive(self, sd_result):
+        # a curation pass never drops rows — every doc_id comes back once
+        assert sorted(sd_result) == [1, 2, 3, 4, 5]
+
+    def test_canonical_doc_untouched(self, sd_result):
+        # doc 1 holds the minimum (doc_id, pos) occurrence of every
+        # duplicated window → byte-identical passthrough
+        assert sd_result[1] == (_SD_A, 0)
+
+    def test_overlapping_windows_merge_to_full_span(self, sd_result):
+        # doc 2 shares a5..a16 with doc 1: 12 tokens → 5 duplicated
+        # 8-token windows whose spans union to the whole run
+        assert sd_result[2] == ("x1 x2 x3 y1 y2", 12)
+
+    def test_short_doc_passthrough_byte_identical(self, sd_result):
+        # < width tokens: no windows; tabs/newlines/double spaces kept
+        assert sd_result[3] == (_SD_C, 0)
+
+    def test_null_text_passthrough(self, sd_result):
+        assert sd_result[4] == (None, 0)
+
+    def test_within_doc_repetition_removed(self, sd_result):
+        # the SECOND occurrence of r1..r8 (pos 10) is removed; the first
+        # and the separator token survive
+        expect = " ".join(f"r{i}" for i in range(1, 9)) + " z1"
+        assert sd_result[5] == (expect, 8)
+
+    def test_mirror_parity_on_parquet(self, spark, tmp_path):
+        # end-to-end parity with the analytic oracle mirror over a real
+        # parquet round-trip (the mirror reads documents.parquet shape)
+        import hashlib
+
+        from no_fasel_scrapers_spark.operators.dedup import substring_dedup
+        from no_fasel_scrapers_spark.oracle.analytic import (
+            substring_dedup_rows,
+        )
+
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        sf = str(tmp_path)
+        rows = [(1, _SD_A, "en"), (2, _SD_B, "en"), (3, _SD_C, "en"),
+                (5, _SD_E, "en")]
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+            ),
+            f"{sf}/documents.parquet",
+        )
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        got = sorted(
+            (
+                r["doc_id"],
+                hashlib.md5(r["clean_text"].encode()).hexdigest(),
+                r["n_removed"],
+            )
+            for r in substring_dedup(
+                df.select("doc_id", "text"), width=8
+            ).collect()
+        )
+        assert got == substring_dedup_rows(sf, width=8)
