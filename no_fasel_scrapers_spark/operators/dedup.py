@@ -509,7 +509,12 @@ def substring_dedup(
       the same rebuild convention as :func:`~..quality.line_dedup`);
     * within-doc repetition counts: the second occurrence of a window
       inside one document is removed too (self-repetition is training
-      noise as much as cross-document duplication is).
+      noise as much as cross-document duplication is);
+    * the canonical occurrence keeps its WINDOW, not immunity for its
+      tokens: on degenerate periodic text (one token repeated ≥ 2·width
+      times) the overlapping non-canonical spans cover all but the
+      first token — the span-union formulation is deliberately that
+      aggressive on pure repetition, and the oracle mirrors it exactly.
 
     Scale shape (100 TB): the window key is ``xxhash64`` of the joined
     token run — tokens contain no whitespace, so the single-space join
